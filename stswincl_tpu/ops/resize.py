@@ -1,0 +1,64 @@
+"""Image resizing with PyTorch-parity sampling semantics.
+
+The reference leans on `F.upsample`/`F.interpolate` in three places that
+affect numeric parity:
+
+  * bilinear upsampling with ``align_corners=False`` inside the model heads
+    (`/root/reference/seg18/net/Ours/base18.py:102-106`, `ASPP.py:46`) and at
+    eval time to full resolution (`seg18/test.py:156`),
+  * ``mode='nearest'`` downsampling of label maps to feature resolution in the
+    contrastive loss (`PixPro_swin_v5.py:585-590`).
+
+`jax.image.resize` uses half-pixel centers for *both*, which matches torch
+bilinear ``align_corners=False`` but NOT torch ``nearest`` (torch nearest uses
+``floor(i * in/out)`` source indexing — asymmetric). We therefore implement
+nearest as an explicit gather with torch indexing so imported checkpoints
+reproduce reference losses bit-for-bit shape-wise.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize of (..., H, W, C), half-pixel centers.
+
+    Equivalent to torch ``F.interpolate(mode='bilinear',
+    align_corners=False)`` for upsampling (the only direction the model
+    uses). Computation runs in fp32 and is cast back to the input dtype.
+    """
+    *lead, H, W, C = x.shape
+    if (H, W) == (out_h, out_w):
+        return x
+    y = jax.image.resize(
+        x.astype(jnp.float32),
+        (*lead, out_h, out_w, C),
+        method="bilinear",
+        antialias=False,
+    )
+    return y.astype(x.dtype)
+
+
+def upsample_bilinear_align_false(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Alias making call sites read like the reference's F.upsample."""
+    return resize_bilinear(x, out_h, out_w)
+
+
+def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Nearest resize of (..., H, W, C) with torch index semantics.
+
+    Source index = floor(dst_index * in_size / out_size), matching torch
+    ``F.interpolate(mode='nearest')`` exactly (including for integer-factor
+    downsampling of label maps, where half-pixel 'nearest' would pick
+    different pixels).
+    """
+    *lead, H, W, C = x.shape
+    if (H, W) == (out_h, out_w):
+        return x
+    rows = jnp.floor(jnp.arange(out_h) * (H / out_h)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(out_w) * (W / out_w)).astype(jnp.int32)
+    y = jnp.take(x, rows, axis=-3)
+    y = jnp.take(y, cols, axis=-2)
+    return y
