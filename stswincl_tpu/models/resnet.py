@@ -1,0 +1,112 @@
+"""ResNet18-OS8 dilated backbone, NHWC / TPU-native.
+
+Capability parity with the reference backbone
+(`/root/reference/seg18/net/Ours/resnet.py:93-137`): torchvision resnet18
+stem + layer1/layer2, followed by two custom dilated stages (dilation 2 and
+4, stride 1) giving output-stride 8 with 512 channels.
+
+TPU-first choices:
+  * NHWC layout end-to-end (TPU convolutions are natively NHWC; NCHW would
+    insert transposes around every conv),
+  * explicit padding tuples replicating torch's symmetric conv padding so
+    imported torchvision weights produce identical activations,
+  * the caller folds the clip's T axis into the batch (one big conv per
+    layer instead of the reference's per-frame python loop,
+    `base18.py:86-89`) — T*B images saturate the MXU in one pass,
+  * BatchNorm runs in fp32 with explicit running stats (`batch_stats`
+    collection); under pjit with a batch-sharded mesh the batch statistics
+    are computed globally by construction (jnp.mean over a sharded axis is
+    a global mean), which supersedes the reference's SyncBatchNorm
+    conversion (`PixPro_swin_v5.py:215-228`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) + BatchNorm, torch-padding semantics."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = self.dilation * (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,  # torch momentum 0.1 == flax 0.9
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return x.astype(self.dtype)
+
+
+class BasicBlock(nn.Module):
+    """Reference BasicBlock (`resnet.py:22-53`): two 3x3 convs + projection
+    shortcut when shape changes."""
+
+    channels: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        in_ch = x.shape[-1]
+        out = ConvBN(self.channels, 3, self.stride, self.dilation, self.dtype, name="cb1")(x, train)
+        out = nn.relu(out)
+        out = ConvBN(self.channels, 3, 1, self.dilation, self.dtype, name="cb2")(out, train)
+        if self.stride != 1 or in_ch != self.channels:
+            sc = ConvBN(self.channels, 1, self.stride, 1, self.dtype, name="downsample")(x, train)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+class ResNet18OS8(nn.Module):
+    """Output-stride-8 ResNet18: (N, H, W, 3) -> (N, H/8, W/8, 512)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        # torchvision stem: conv7x7/2 pad3 -> bn -> relu -> maxpool3x3/2 pad1
+        x = ConvBN(64, 7, 2, 1, self.dtype, name="stem")(x, train)
+        x = nn.relu(x)
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
+        # layer1: 2x BasicBlock(64), layer2: 2x BasicBlock(128, stride 2)
+        for i in range(2):
+            x = BasicBlock(64, dtype=self.dtype, name=f"layer1_{i}")(x, train)
+        x = BasicBlock(128, stride=2, dtype=self.dtype, name="layer2_0")(x, train)
+        x = BasicBlock(128, dtype=self.dtype, name="layer2_1")(x, train)
+        # dilated stages replacing strided layer3/layer4 (reference layer4/5,
+        # `resnet.py:120-122`): OS stays 8, receptive field grows.
+        x = BasicBlock(256, dilation=2, dtype=self.dtype, name="layer4_0")(x, train)
+        x = BasicBlock(256, dilation=2, dtype=self.dtype, name="layer4_1")(x, train)
+        x = BasicBlock(512, dilation=4, dtype=self.dtype, name="layer5_0")(x, train)
+        x = BasicBlock(512, dilation=4, dtype=self.dtype, name="layer5_1")(x, train)
+        return x

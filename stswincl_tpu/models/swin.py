@@ -1,0 +1,267 @@
+"""Space-time shifted-window Swin stack ("STswin").
+
+Capability parity with `/root/reference/seg18/net/Ours/swin_512.py:143-327`
+(and its pretrain twin, which differs only by `input_resolution`). Two
+semantic quirks of the reference are deliberately replicated — "fixing" them
+to standard Swin silently changes results (SURVEY.md §7 risks):
+
+  * **Nonstandard norm order** (`swin_512.py:234-235`): the attention branch
+    has NO pre-norm (`x = shortcut + attn(x)`), and norm1 is applied AFTER
+    the MLP residual add: ``x = norm1(x + mlp(norm2(x)))``.
+  * **Temporal pairing schedule** (`swin_512.py:287,302-307`): each of the 3
+    layers per stage attends jointly over 2-frame groups with the schedule
+    [[0:2, 2:4], [1:3], [0:2, 2:4]]; frames outside the active pair pass
+    through unchanged.
+
+TPU-first restructuring (not a translation):
+  * the reference loops over pairs and mutates a cloned tensor; here the
+    [0:2, 2:4] schedule is a single reshape (B, 4, ...) -> (B*2, 2, ...) so
+    both pairs run in one batched attention call, and the [1:3] layer is a
+    static slice + concat — everything shape-static under jit;
+  * window partitioning is pure reshape/transpose that XLA folds into the
+    attention matmuls; the SW-MSA mask and relative-position index are
+    host-precomputed constants;
+  * attention math runs through
+    :func:`stswincl_tpu.ops.attention.space_time_window_attention` with fp32
+    accumulation, bf16-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from stswincl_tpu.ops.window import (
+    cyclic_shift,
+    relative_position_index,
+    shifted_window_attention_mask,
+)
+from stswincl_tpu.ops.attention import space_time_window_attention
+
+Dtype = Any
+
+
+class Mlp(nn.Module):
+    """fc -> GELU(exact) -> fc  (`swin_512.py:7-23`; drop rates are 0 in all
+    shipped configs so dropout is omitted)."""
+
+    hidden: int
+    out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class WindowAttention(nn.Module):
+    """QKV + relative-position-bias window attention over (Bw, T, N, C)."""
+
+    dim: int
+    window_size: Tuple[int, int]
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        Bw, T, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+
+        num_rel = (2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1)
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (num_rel, self.num_heads),
+            jnp.float32,
+        )
+        rel_idx = relative_position_index(*self.window_size)  # host constant
+        rel_bias = bias_table[rel_idx.reshape(-1)].reshape(N, N, self.num_heads)
+        rel_bias = rel_bias.transpose(2, 0, 1)  # (heads, N, N)
+
+        qkv = nn.Dense(3 * self.dim, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(Bw, T * N, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, Bw, heads, T*N, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        out = space_time_window_attention(q, k, v, rel_bias, mask, scale)
+        out = out.transpose(0, 2, 1, 3).reshape(Bw, T, N, C)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return out
+
+
+class SpaceTimeSwinBlock(nn.Module):
+    """One (S)W-MSA block over a 2-frame group: (B, 2, L, C) -> (B, 2, L, C).
+
+    Replicates reference `SwinTransformerBlock.forward` (`swin_512.py:
+    196-237`) including the nonstandard norm order.
+    """
+
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int = 8
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        H, W = self.input_resolution
+        ws, ss = self.window_size, self.shift_size
+        # reference clamps window to the input when it is small (`:155-158`)
+        if min(H, W) <= ws:
+            ss, ws = 0, min(H, W)
+        B, T, L, C = x.shape
+        assert L == H * W, f"input feature has wrong size: {L} != {H}*{W}"
+        nH, nW_ = H // ws, W // ws
+        n_windows = nH * nW_
+        N = ws * ws
+
+        shortcut = x
+
+        xi = x.reshape(B * T, H, W, C)
+        xi = cyclic_shift(xi, ss)
+
+        # partition + regroup to frame-joint windows: (B*nW, T, N, C)
+        xw = xi.reshape(B, T, nH, ws, nW_, ws, C)
+        xw = xw.transpose(0, 2, 4, 1, 3, 5, 6)  # (B, nH, nW, T, ws, ws, C)
+        xw = xw.reshape(B * n_windows, T, N, C)
+
+        if ss > 0:
+            mask = jnp.asarray(
+                shifted_window_attention_mask(H, W, ws, ss), dtype=jnp.float32
+            )
+        else:
+            mask = None
+        attn = WindowAttention(
+            self.dim, (ws, ws), self.num_heads, dtype=self.dtype, name="attn"
+        )(xw, mask)
+
+        # reverse: (B*nW, T, N, C) -> (B*T, H, W, C)
+        xo = attn.reshape(B, nH, nW_, T, ws, ws, C)
+        xo = xo.transpose(0, 3, 1, 4, 2, 5, 6).reshape(B * T, H, W, C)
+        xo = cyclic_shift(xo, ss, reverse=True)
+        xo = xo.reshape(B, T, L, C)
+
+        # --- reference's nonstandard residual/norm order (`:234-235`) ---
+        x = shortcut + xo  # no pre-norm on the attention branch
+        mlp_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(mlp_in)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + mlp_out)
+        return x
+
+
+class PatchMerging(nn.Module):
+    """2x2 space-to-depth + LayerNorm + Linear(4C -> 2C, no bias), per frame
+    (`swin_512.py:239-277`)."""
+
+    input_resolution: Tuple[int, int]
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        H, W = self.input_resolution
+        B, T, L, C = x.shape
+        assert L == H * W and H % 2 == 0 and W % 2 == 0
+
+        xi = x.reshape(B * T, H, W, C)
+        x0 = xi[:, 0::2, 0::2, :]
+        x1 = xi[:, 1::2, 0::2, :]
+        x2 = xi[:, 0::2, 1::2, :]
+        x3 = xi[:, 1::2, 1::2, :]
+        xc = jnp.concatenate([x0, x1, x2, x3], axis=-1)  # (B*T, H/2, W/2, 4C)
+        xc = xc.reshape(B * T, L // 4, 4 * C)
+        xc = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xc)
+        xc = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(xc)
+        return xc.reshape(B, T, L // 4, 2 * C)
+
+
+# temporal pair schedule: (start, stop) frame groups per layer (`:287`)
+PAIR_SCHEDULE = (((0, 2), (2, 4)), ((1, 3),), ((0, 2), (2, 4)))
+
+
+def _apply_paired(block_pair, x, pairs):
+    """Apply a (W-MSA, SW-MSA) block pair under the temporal group schedule.
+
+    x: (B, 4, L, C). For the two-group schedule both groups are folded into
+    the batch axis and run in ONE attention call; for the middle [1:3] group
+    the outer frames pass through untouched (reference `x_y = x_v.clone()`
+    pass-through, `swin_512.py:302-307`).
+    """
+    B, T, L, C = x.shape
+    if pairs == ((0, 2), (2, 4)):
+        xr = x.reshape(B * 2, 2, L, C)
+        for blk in block_pair:
+            xr = blk(xr)
+        return xr.reshape(B, T, L, C)
+    elif pairs == ((1, 3),):
+        mid = x[:, 1:3]
+        for blk in block_pair:
+            mid = blk(mid)
+        return jnp.concatenate([x[:, 0:1], mid, x[:, 3:4]], axis=1)
+    else:  # pragma: no cover - schedule is static
+        raise ValueError(f"unsupported pair schedule {pairs}")
+
+
+class SwinTemporalStack(nn.Module):
+    """The full STswin module (`SwinTransformerLayerv5`, `swin_512.py:
+    280-327`): 3 paired layers at (H/8, W/8) with window 8 / shift 4, patch
+    merging, 3 paired layers at (H/16, W/16) with window 4 / shift 2.
+
+    Input  (B, 4, H8, W8, C) NHWC feature clip (C = 512 nominally).
+    Output (stage-1 (B, 4, H8, W8, C), stage-2 (B, 4, H8/2, W8/2, 2C)).
+    """
+
+    dim: int = 512
+    input_resolution: Tuple[int, int] = (64, 80)
+    num_heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        assert T == 4, "temporal stack expects clips of 4 frames"
+        assert (H, W) == tuple(self.input_resolution), (
+            f"resolution mismatch: {(H, W)} vs {self.input_resolution}"
+        )
+        res2 = (H // 2, W // 2)
+
+        x = x.reshape(B, T, H * W, C)
+
+        def stage1_pair(i):
+            return (
+                SpaceTimeSwinBlock(
+                    self.dim, (H, W), self.num_heads, window_size=8,
+                    shift_size=0, dtype=self.dtype, name=f"layers_{i}_w"),
+                SpaceTimeSwinBlock(
+                    self.dim, (H, W), self.num_heads, window_size=8,
+                    shift_size=4, dtype=self.dtype, name=f"layers_{i}_sw"),
+            )
+
+        def stage2_pair(i):
+            return (
+                SpaceTimeSwinBlock(
+                    self.dim * 2, res2, self.num_heads, window_size=4,
+                    shift_size=0, dtype=self.dtype, name=f"layers_{i}_w"),
+                SpaceTimeSwinBlock(
+                    self.dim * 2, res2, self.num_heads, window_size=4,
+                    shift_size=2, dtype=self.dtype, name=f"layers_{i}_sw"),
+            )
+
+        for i in range(3):
+            x = _apply_paired(stage1_pair(i), x, PAIR_SCHEDULE[i])
+        stage1 = x.reshape(B, T, H, W, C)
+
+        x = PatchMerging((H, W), self.dim, dtype=self.dtype, name="downsample")(x)
+        for i in range(3):
+            x = _apply_paired(stage2_pair(i + 3), x, PAIR_SCHEDULE[i])
+        stage2 = x.reshape(B, T, H // 2, W // 2, 2 * C)
+        return stage1, stage2
