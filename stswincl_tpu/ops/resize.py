@@ -46,6 +46,41 @@ def upsample_bilinear_align_false(x: jnp.ndarray, out_h: int, out_w: int) -> jnp
     return resize_bilinear(x, out_h, out_w)
 
 
+def _align_corners_matrix(in_size: int, out_size: int) -> jnp.ndarray:
+    """(out, in) bilinear interpolation matrix with align_corners=True."""
+    if out_size == 1:
+        m = jnp.zeros((1, in_size)).at[0, 0].set(1.0)
+        return m
+    src = jnp.arange(out_size) * ((in_size - 1) / (out_size - 1))
+    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    w_hi = src - lo
+    rows = jnp.arange(out_size)
+    m = jnp.zeros((out_size, in_size))
+    m = m.at[rows, lo].add(1.0 - w_hi)
+    m = m.at[rows, hi].add(w_hi)
+    return m
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize with torch ``align_corners=True`` semantics.
+
+    Used by the reference evaluation path (`seg18/test.py:155`:
+    ``F.interpolate(output, (1024, 1280), mode='bilinear',
+    align_corners=True)``). Implemented as two dense interpolation-matrix
+    contractions — separable, MXU-friendly, jit-static.
+    """
+    *lead, H, W, C = x.shape
+    if (H, W) == (out_h, out_w):
+        return x
+    mh = _align_corners_matrix(H, out_h).astype(jnp.float32)
+    mw = _align_corners_matrix(W, out_w).astype(jnp.float32)
+    xf = x.astype(jnp.float32).reshape(-1, H, W, C)
+    y = jnp.einsum("oh,bhwc->bowc", mh, xf)
+    y = jnp.einsum("pw,bowc->bopc", mw, y)
+    return y.reshape(*lead, out_h, out_w, C).astype(x.dtype)
+
+
 def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Nearest resize of (..., H, W, C) with torch index semantics.
 
