@@ -1,0 +1,150 @@
+"""Inter-video pixel-contrastive pretraining (stage 2).
+
+Capability parity with `pixcontrast_18/main_pretrain_swinv5.py` +
+`PixPro_swin_v5.py:140-597`, restructured for JAX:
+
+  * ONE `ContrastEncoder` module; query and key branches are two parameter
+    pytrees in the train state;
+  * cosine-ramped EMA momentum `1-(1-m)*(cos(pi*k/K)+1)/2`
+    (`PixPro_swin_v5.py:258-263`) applied as a single tree_map BEFORE the
+    key pass, exactly like the reference's update order;
+  * the 6-clip key pass is a `lax.scan` over the view axis — same FLOPs as
+    the reference's six pasted forwards, one compiled body, and the key
+    BN running stats advance sequentially through the 6 passes as the
+    reference's train-mode BN does;
+  * the loss is the class-sum rewrite of the reference's (B,HW,HW) masked
+    similarity means (`stswincl_tpu/ops/contrastive.py`), symmetrized over
+    the two query views; label maps are nearest-downsampled to feature
+    resolution with torch index semantics (`PixPro_swin_v5.py:584-590`);
+  * under a data mesh, batches shard over chips; because every loss term
+    contracts features against per-class sums computed from the SHARDED
+    batch, XLA all-gathers the class sums — giving the cross-chip negative
+    pool the reference left unplugged (`contrast/util.py:47-58`) for free.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from stswincl_tpu.ops.contrastive import class_sum_contrastive_loss
+from stswincl_tpu.ops.resize import resize_nearest
+
+
+def contrast_momentum(step, total_steps: int, base_momentum: float = 0.99):
+    """`1 - (1 - m) * (cos(pi * k / K) + 1) / 2` (`PixPro_swin_v5.py:263`)."""
+    k = jnp.asarray(step, jnp.float32)
+    return 1.0 - (1.0 - base_momentum) * (
+        jnp.cos(jnp.pi * k / max(total_steps, 1)) + 1.0) / 2.0
+
+
+class ContrastTrainState(struct.PyTreeNode):
+    params_q: Any
+    stats_q: Any
+    params_k: Any
+    stats_k: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, variables, tx: optax.GradientTransformation):
+        """Key branch starts as an exact copy of the query branch
+        (`PixPro_swin_v5.py:187-213`)."""
+        return cls(
+            params_q=variables["params"],
+            stats_q=variables.get("batch_stats", {}),
+            params_k=jax.tree.map(lambda x: x, variables["params"]),
+            stats_k=jax.tree.map(lambda x: x,
+                                 variables.get("batch_stats", {})),
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def make_contrast_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    class_num: int,
+    total_steps: int,
+    base_momentum: float = 0.99,
+) -> Callable:
+    """(state, clips, labels) -> (state, metrics).
+
+    clips: (B, 6, T, H, W, 3) — views [v1, v2, adjacent, neg1, neg2, neg3];
+    labels: (B, 6, Hc, Wc) int32 crop-resolution label maps.
+    """
+
+    def encode_q(params, stats, clip):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": stats},
+            clip, train=True, mutable=["batch_stats"])
+        return out, updates["batch_stats"]
+
+    def key_pass(params_k, stats_k, clips):
+        """Sequentially encode the 6 views with the key branch; BN running
+        stats carry through the scan like the reference's 6 train-mode
+        forwards."""
+
+        def body(stats, clip):
+            out, new_stats = encode_q(params_k, stats, clip)
+            return new_stats, out
+
+        # clips: (B, 6, ...) -> scan over axis 0 of (6, B, ...)
+        new_stats, keys = jax.lax.scan(body, stats_k,
+                                       jnp.swapaxes(clips, 0, 1))
+        return keys, new_stats  # keys: (6, B, h, w, 256)
+
+    def to_flat(feat):
+        B, h, w, C = feat.shape
+        return feat.reshape(B, h * w, C)
+
+    def downsample_labels(labels, h, w):
+        # (B, 6, Hc, Wc) -> (B, 6, h*w) with torch 'nearest' indexing
+        lab = resize_nearest(labels[..., None], h, w)[..., 0]
+        return lab.reshape(labels.shape[0], labels.shape[1], h * w)
+
+    def loss_fn(params_q, stats_q, params_k, stats_k, clips, labels):
+        # query passes on views 0 and 1 (grad)
+        q1, stats_q1 = encode_q(params_q, stats_q, clips[:, 0])
+        q2, stats_q2 = encode_q(params_q, stats_q1, clips[:, 1])
+        # key passes on all 6 views (no grad through params_k)
+        keys, new_stats_k = key_pass(params_k, stats_k, clips)
+        keys = jax.lax.stop_gradient(keys)
+
+        B, h, w, C = q1.shape
+        lab = downsample_labels(labels, h, w)  # (B, 6, hw)
+
+        k_sets_1 = [(to_flat(keys[i]), lab[:, i]) for i in (1, 2, 3, 4, 5)]
+        k_sets_2 = [(to_flat(keys[i]), lab[:, i]) for i in (0, 2, 3, 4, 5)]
+        loss = (
+            class_sum_contrastive_loss(to_flat(q1), lab[:, 0], k_sets_1, class_num)
+            + class_sum_contrastive_loss(to_flat(q2), lab[:, 1], k_sets_2, class_num)
+        )
+        return loss, (stats_q2, new_stats_k)
+
+    @jax.jit
+    def train_step(state: ContrastTrainState, clips, labels):
+        # EMA momentum update of the key branch BEFORE the key forward
+        # (`PixPro_swin_v5.py:366-367`)
+        m = contrast_momentum(state.step, total_steps, base_momentum)
+        params_k = jax.tree.map(lambda k, q: k * m + q * (1.0 - m),
+                                state.params_k, state.params_q)
+
+        (loss, (new_stats_q, new_stats_k)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params_q, state.stats_q,
+                                   params_k, state.stats_k, clips, labels)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params_q)
+        new_params_q = optax.apply_updates(state.params_q, updates)
+        new_state = state.replace(
+            params_q=new_params_q, stats_q=new_stats_q,
+            params_k=params_k, stats_k=new_stats_k,
+            opt_state=new_opt, step=state.step + 1)
+        return new_state, {"loss": loss, "momentum": m,
+                           "grad_norm": optax.global_norm(grads)}
+
+    return train_step

@@ -1,0 +1,127 @@
+"""Supervised segmentation training (stages 1 and 3).
+
+Capability parity with `seg18/train_swin.py` / `train_CL_ft_mswin_sgd_minput.py`
+(and the segcata twins): OHEM cross-entropy (or Dice/BCE), bf16 compute with
+fp32 params (the TPU replacement for torch.cuda.amp — no loss scaler needed
+for bf16), per-iteration LR schedules, BN running-stat updates, full-res
+align-corners evaluation.
+
+The train step is ONE jitted function; under a data mesh the batch arrives
+sharded and XLA inserts the gradient psum + global BN statistics
+automatically (see `stswincl_tpu/parallel/mesh.py`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from stswincl_tpu.ops.ohem import ohem_cross_entropy
+from stswincl_tpu.ops.resize import resize_bilinear_align_corners
+
+
+class SegTrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, variables, tx: optax.GradientTransformation):
+        return cls(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def dice_loss(logits: jnp.ndarray, labels: jnp.ndarray, num_classes: int):
+    """Reference DiceLoss (`seg18/utils/losses.py:9-14`): global soft dice
+    over one-hot targets."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    inter = jnp.sum(probs * onehot)
+    union = jnp.sum(probs) + jnp.sum(onehot) + 1e-6
+    return 1.0 - 2.0 * inter / union
+
+
+def make_seg_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_type: str = "ohem",
+    ohem_n_min: Optional[int] = None,
+    ohem_thresh: float = 0.7,
+    ignore_index: int = -1,
+) -> Callable:
+    """Build the jitted train step: (state, images, labels) -> (state, metrics).
+
+    images: (B, T, H, W, 3); labels: (B, H, W) int32. `ohem_n_min` defaults
+    to the reference's B*H*W/16 (`train_swin.py:123`, n_min computed on the
+    flattened batch).
+    """
+
+    def loss_fn(params, batch_stats, images, labels):
+        logits, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=True, mutable=["batch_stats"],
+        )
+        n_min = ohem_n_min
+        if n_min is None:
+            b, h, w = labels.shape
+            n_min = b * h * w // 16
+        if loss_type == "ohem":
+            loss = ohem_cross_entropy(logits, labels, n_min, ohem_thresh,
+                                      ignore_index)
+        elif loss_type == "dice":
+            loss = dice_loss(logits, labels, logits.shape[-1])
+        else:  # plain CE
+            valid = labels != ignore_index
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32),
+                jnp.where(valid, labels, 0))
+            loss = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+        return loss, updates["batch_stats"]
+
+    @jax.jit
+    def train_step(state: SegTrainState, images, labels):
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   images, labels)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params, batch_stats=new_stats,
+            opt_state=new_opt, step=state.step + 1)
+        metrics = {"loss": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_seg_eval_step(model, out_hw: Optional[Tuple[int, int]] = None) -> Callable:
+    """Jitted eval: clip -> predicted class map.
+
+    Replicates `seg18/test.py:152-158` INSIDE one XLA program: forward,
+    bilinear align_corners=True upsample to scoring resolution, softmax,
+    argmax — no host round-trips until the final int map (the reference
+    pays a GPU->CPU copy + python loop per frame).
+    """
+
+    @jax.jit
+    def eval_step(params, batch_stats, images):
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=False)
+        if out_hw is not None:
+            logits = resize_bilinear_align_corners(logits, *out_hw)
+        # softmax then argmax == argmax of logits, kept for parity clarity
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return eval_step
