@@ -49,15 +49,20 @@ class ConvBNRelu(nn.Module):
 
 
 class ASPP(nn.Module):
+    """`mid_channels` defaults to in/2 (the 1024-ch reference ASPP,
+    `ASPP.py:10-31`); the Bottleneck variant (`ASPP.py:54-78`) uses 2048 in
+    with fixed 256-ch branches — pass mid_channels=256 for that wiring."""
+
     in_channels: int = 1024
     out_channels: int = 256
+    mid_channels: int = 0  # 0 -> in_channels // 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         B, H, W, C = x.shape
         assert C == self.in_channels
-        mid = self.in_channels // 2
+        mid = self.mid_channels or self.in_channels // 2
 
         b0 = ConvBNRelu(mid, 1, dtype=self.dtype, name="branch_1x1")(x, train)
         b1 = ConvBNRelu(mid, 3, 6, dtype=self.dtype, name="branch_r6")(x, train)

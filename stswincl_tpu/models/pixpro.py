@@ -60,11 +60,15 @@ class ContrastEncoder(nn.Module):
     """
 
     num_classes: int
+    swin_dim: int = 512
+    num_heads: int = 4
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        segmentor = TswinPlus(self.num_classes, dtype=self.dtype, name="segmentor")
+        segmentor = TswinPlus(self.num_classes, swin_dim=self.swin_dim,
+                              num_heads=self.num_heads, dtype=self.dtype,
+                              name="segmentor")
         features = segmentor(x, train=train, return_features=True)
         proj = ProjHead(dtype=self.dtype, name="projector")(features, train)
         proj = proj.astype(jnp.float32)

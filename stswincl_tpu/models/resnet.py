@@ -84,29 +84,92 @@ class BasicBlock(nn.Module):
         return nn.relu(out + sc)
 
 
-class ResNet18OS8(nn.Module):
-    """Output-stride-8 ResNet18: (N, H, W, 3) -> (N, H/8, W/8, 512)."""
+class BottleneckBlock(nn.Module):
+    """Reference Bottleneck (`pixcontrast_18/contrast/models/Ours/resnet.py:
+    55-90`): 1x1 reduce -> 3x3 (stride/dilated) -> 1x1 expand x4, projection
+    shortcut on shape change."""
+
+    channels: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        in_ch = x.shape[-1]
+        out_ch = 4 * self.channels
+        out = ConvBN(self.channels, 1, 1, 1, self.dtype, name="cb1")(x, train)
+        out = nn.relu(out)
+        out = ConvBN(self.channels, 3, self.stride, self.dilation, self.dtype,
+                     name="cb2")(out, train)
+        out = nn.relu(out)
+        out = ConvBN(out_ch, 1, 1, 1, self.dtype, name="cb3")(out, train)
+        if self.stride != 1 or in_ch != out_ch:
+            sc = ConvBN(out_ch, 1, self.stride, 1, self.dtype,
+                        name="downsample")(x, train)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+class ResNet50OS16(nn.Module):
+    """Output-stride-16 ResNet50 (`pixcontrast resnet.py:92-133`): stem +
+    layer1-3 of torchvision resnet50 (OS16, 1024ch) + a dilated (rate 2)
+    Bottleneck stage to 2048ch. Backs the `layers=50` DeepLabV3+ baseline.
+    """
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        # torchvision stem: conv7x7/2 pad3 -> bn -> relu -> maxpool3x3/2 pad1
         x = ConvBN(64, 7, 2, 1, self.dtype, name="stem")(x, train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i in range(3):
+            x = BottleneckBlock(64, dtype=self.dtype, name=f"layer1_{i}")(x, train)
+        x = BottleneckBlock(128, stride=2, dtype=self.dtype, name="layer2_0")(x, train)
+        for i in range(1, 4):
+            x = BottleneckBlock(128, dtype=self.dtype, name=f"layer2_{i}")(x, train)
+        x = BottleneckBlock(256, stride=2, dtype=self.dtype, name="layer3_0")(x, train)
+        for i in range(1, 6):
+            x = BottleneckBlock(256, dtype=self.dtype, name=f"layer3_{i}")(x, train)
+        # dilated final stage replacing strided layer4 (`resnet.py:122`)
+        for i in range(3):
+            x = BottleneckBlock(512, dilation=2, dtype=self.dtype,
+                                name=f"layer5_{i}")(x, train)
+        return x
+
+
+class ResNet18OS8(nn.Module):
+    """Output-stride-8 ResNet18: (N, H, W, 3) -> (N, H/8, W/8, 8*width).
+
+    `width` (default 64, the reference dimensioning) scales every stage —
+    useful for scaled-down model variants and fast integration tests.
+    """
+
+    width: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w = self.width
+        x = x.astype(self.dtype)
+        # torchvision stem: conv7x7/2 pad3 -> bn -> relu -> maxpool3x3/2 pad1
+        x = ConvBN(w, 7, 2, 1, self.dtype, name="stem")(x, train)
         x = nn.relu(x)
         x = nn.max_pool(
             x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
         )
-        # layer1: 2x BasicBlock(64), layer2: 2x BasicBlock(128, stride 2)
+        # layer1: 2x BasicBlock(w), layer2: 2x BasicBlock(2w, stride 2)
         for i in range(2):
-            x = BasicBlock(64, dtype=self.dtype, name=f"layer1_{i}")(x, train)
-        x = BasicBlock(128, stride=2, dtype=self.dtype, name="layer2_0")(x, train)
-        x = BasicBlock(128, dtype=self.dtype, name="layer2_1")(x, train)
+            x = BasicBlock(w, dtype=self.dtype, name=f"layer1_{i}")(x, train)
+        x = BasicBlock(2 * w, stride=2, dtype=self.dtype, name="layer2_0")(x, train)
+        x = BasicBlock(2 * w, dtype=self.dtype, name="layer2_1")(x, train)
         # dilated stages replacing strided layer3/layer4 (reference layer4/5,
         # `resnet.py:120-122`): OS stays 8, receptive field grows.
-        x = BasicBlock(256, dilation=2, dtype=self.dtype, name="layer4_0")(x, train)
-        x = BasicBlock(256, dilation=2, dtype=self.dtype, name="layer4_1")(x, train)
-        x = BasicBlock(512, dilation=4, dtype=self.dtype, name="layer5_0")(x, train)
-        x = BasicBlock(512, dilation=4, dtype=self.dtype, name="layer5_1")(x, train)
+        x = BasicBlock(4 * w, dilation=2, dtype=self.dtype, name="layer4_0")(x, train)
+        x = BasicBlock(4 * w, dilation=2, dtype=self.dtype, name="layer4_1")(x, train)
+        x = BasicBlock(8 * w, dilation=4, dtype=self.dtype, name="layer5_0")(x, train)
+        x = BasicBlock(8 * w, dilation=4, dtype=self.dtype, name="layer5_1")(x, train)
         return x

@@ -28,7 +28,7 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from stswincl_tpu.models.resnet import ResNet18OS8
+from stswincl_tpu.models.resnet import ResNet18OS8, ResNet50OS16
 from stswincl_tpu.models.swin import SwinTemporalStack
 from stswincl_tpu.models.aspp import ASPP
 from stswincl_tpu.ops.resize import resize_bilinear
@@ -87,7 +87,8 @@ class TswinPlus(nn.Module):
 
         # one batched backbone pass over all frames (B*T folded into batch)
         frames = x.reshape(B * T, H, W, C)
-        feats = ResNet18OS8(dtype=self.dtype, name="resnet")(frames, train)
+        feats = ResNet18OS8(width=self.swin_dim // 8, dtype=self.dtype,
+                            name="resnet")(frames, train)
         feats = feats.reshape(B, T, h8, w8, self.swin_dim)
         res_last = feats[:, -1]
 
@@ -132,13 +133,19 @@ class DeepLabV3Plus(nn.Module):
     """
 
     num_classes: int
+    layers: int = 18  # 18 -> ResNet18-OS8; 50 -> ResNet50-OS16 + 256-branch ASPP
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         B, H, W, _ = x.shape
-        feats = ResNet18OS8(dtype=self.dtype, name="resnet")(x, train)
-        aspp_out = ASPP(512, 256, dtype=self.dtype, name="aspp")(feats, train)
+        if self.layers == 50:
+            feats = ResNet50OS16(dtype=self.dtype, name="resnet")(x, train)
+            aspp_out = ASPP(2048, 256, mid_channels=256, dtype=self.dtype,
+                            name="aspp")(feats, train)
+        else:
+            feats = ResNet18OS8(dtype=self.dtype, name="resnet")(x, train)
+            aspp_out = ASPP(512, 256, dtype=self.dtype, name="aspp")(feats, train)
         low = ProjectBNRelu(dtype=self.dtype, name="project")(feats, train)
         aspp_out = resize_bilinear(aspp_out, low.shape[1], low.shape[2])
         out = Classifier(self.num_classes, dtype=self.dtype, name="classifier")(

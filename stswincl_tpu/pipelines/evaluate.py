@@ -1,0 +1,107 @@
+"""Evaluation / test driver.
+
+Protocol parity with `seg18/test.py:136-209` (EndoVis: per-frame Dice/IoU at
+1024x1280 with per-sequence + per-class breakdown) and
+`segcata/cata_test.py:48-175` (CaDIS: split-level confusion-matrix
+PA/PAC/mIoU at 540x960). The device side — forward, align-corners upsample,
+argmax — is one jitted program (`make_seg_eval_step`); metric accumulation
+runs on host over the streamed int predictions.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from stswincl_tpu.configs import SegTrainConfig
+from stswincl_tpu.train import make_seg_eval_step
+from stswincl_tpu.eval import EndovisEvaluator, ConfusionMatrix
+from stswincl_tpu.eval.metrics_cadis import (
+    pixel_accuracy, pixel_accuracy_per_class, mean_iou)
+from stswincl_tpu.data.cadis import CADIS_CLASS_NUM
+from stswincl_tpu.data.loader import _seeded_rng
+
+
+def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
+                   eval_step=None, max_frames: Optional[int] = None) -> Dict:
+    """Run the full eval protocol over `dataset`; returns the summary dict."""
+    if eval_step is None:
+        eval_step = make_seg_eval_step(model, out_hw=cfg.eval_hw)
+
+    is_cadis = cfg.data.dataset == "cadis"
+    if is_cadis:
+        num_classes = CADIS_CLASS_NUM[cfg.data.tag]
+        cm = ConfusionMatrix(num_classes - 1)  # ignore class excluded
+    else:
+        evaluator = EndovisEvaluator(num_classes=cfg.data.num_classes)
+
+    n = len(dataset)
+    if max_frames is not None:
+        n = min(n, max_frames)
+    timings = []
+    for i in range(n):
+        sample = dataset.get(i, _seeded_rng(0, 0, i))
+        clip = sample["image"][None]  # (1, t, H, W, 3)
+        label = sample["label"]
+        tic = time.perf_counter()
+        pred = eval_step(params, batch_stats, clip)
+        pred = np.asarray(pred[0])
+        timings.append(time.perf_counter() - tic)
+        if pred.shape != label.shape:
+            # score at the label's resolution: crop/resize mismatch guard for
+            # synthetic/val paths where eval_hw differs from label size
+            from PIL import Image
+            pred = np.asarray(
+                Image.fromarray(pred.astype(np.int32), mode="I").resize(
+                    (label.shape[1], label.shape[0]), Image.NEAREST))
+        if is_cadis:
+            cm.update(label, pred)
+        else:
+            seq = sample["path"][0]
+            evaluator.update(label, pred, int(seq))
+
+    if is_cadis:
+        pa = pixel_accuracy(cm.matrix)
+        pac, pac_c = pixel_accuracy_per_class(cm.matrix)
+        miou, miou_c = mean_iou(cm.matrix)
+        summary = {"pa": pa, "pac": pac, "miou": miou, "iou": miou,
+                   "frames": n}
+    else:
+        summary = evaluator.summary()
+    summary["sec_per_frame"] = float(np.median(timings)) if timings else 0.0
+    return summary
+
+
+def run_test(cfg: SegTrainConfig):
+    """`test` CLI command: load a checkpoint, run the full test protocol."""
+    from stswincl_tpu.pipelines.common import (
+        build_model, build_seg_dataset, init_model_variables)
+    from stswincl_tpu.pipelines.seg import _warm_start
+    from stswincl_tpu.ckpt import load_checkpoint, latest_step
+    from stswincl_tpu.utils import setup_logger
+
+    logger = setup_logger(cfg.log_dir)
+    model, num_classes = build_model(cfg.model, cfg.data)
+    variables = init_model_variables(model, cfg.data,
+                                     clip=cfg.model.arch != "puredeeplab18")
+    if cfg.torch_checkpoint:
+        variables = _warm_start(cfg, variables, logger)
+        params, stats = variables["params"], variables["batch_stats"]
+    else:
+        ckpt_dir = cfg.init_checkpoint or cfg.ckpt_dir
+        state = load_checkpoint(ckpt_dir)
+        params = state["params"]
+        stats = state.get("batch_stats", variables.get("batch_stats", {}))
+
+    split = "test"
+    dataset = build_seg_dataset(cfg.data, split)
+    if cfg.data.dataset == "cadis":
+        cfg.eval_hw = (540, 960)
+    summary = evaluate_split(model, params, stats, dataset, cfg)
+    logger.info("test summary: %s", summary)
+    print({k: (round(v, 4) if isinstance(v, float) else v)
+           for k, v in summary.items()})
+    return summary

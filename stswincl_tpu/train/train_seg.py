@@ -51,6 +51,23 @@ def dice_loss(logits: jnp.ndarray, labels: jnp.ndarray, num_classes: int):
     return 1.0 - 2.0 * inter / union
 
 
+def bce_loss(logits: jnp.ndarray, labels: jnp.ndarray, num_classes: int,
+             ignore_index: int = -1):
+    """Reference BCELoss (`seg18/utils/losses.py:92-124`): softmax over
+    classes, then per-class binary cross-entropy against the one-hot target,
+    averaged over classes (the ignored class contributes nothing)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = jnp.clip(probs, 1e-7, 1.0 - 1e-7)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    per_class_bce = -(onehot * jnp.log(probs)
+                      + (1.0 - onehot) * jnp.log(1.0 - probs))
+    per_class = jnp.mean(per_class_bce.reshape(-1, num_classes), axis=0)
+    if 0 <= ignore_index < num_classes:
+        mask = jnp.ones(num_classes).at[ignore_index].set(0.0)
+        per_class = per_class * mask
+    return jnp.sum(per_class) / num_classes
+
+
 def make_seg_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -80,6 +97,8 @@ def make_seg_train_step(
                                       ignore_index)
         elif loss_type == "dice":
             loss = dice_loss(logits, labels, logits.shape[-1])
+        elif loss_type == "bce":
+            loss = bce_loss(logits, labels, logits.shape[-1], ignore_index)
         else:  # plain CE
             valid = labels != ignore_index
             ce = optax.softmax_cross_entropy_with_integer_labels(

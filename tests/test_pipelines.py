@@ -1,0 +1,69 @@
+"""End-to-end pipeline smoke tests on synthetic data (8-dev CPU mesh)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from stswincl_tpu.configs import (
+    SegTrainConfig, ContrastTrainConfig, DataConfig, ModelConfig,
+    apply_overrides, to_json, load_config,
+)
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = SegTrainConfig()
+    cfg = apply_overrides(cfg, ["lr=0.01", "data.batch_size=16",
+                                "data.crop_hw=(64,128)", "loss=dice"])
+    assert cfg.lr == 0.01
+    assert cfg.data.batch_size == 16
+    assert cfg.data.crop_hw == (64, 128)
+    p = tmp_path / "cfg.json"
+    p.write_text(to_json(cfg))
+    back = load_config(SegTrainConfig, str(p))
+    assert back.lr == 0.01 and back.data.crop_hw == (64, 128)
+
+
+@pytest.mark.slow
+def test_seg_training_e2e(tmp_path):
+    """Two epochs of stage-1 training on synthetic data must run the full
+    loop (train + eval + checkpoint + early-stop bookkeeping) and produce a
+    finite decreasing loss."""
+    cfg = SegTrainConfig(
+        data=DataConfig(dataset="synthetic", t=4, crop_hw=(64, 128),
+                        num_classes=5, batch_size=8, num_workers=2),
+        model=ModelConfig(num_classes=5, swin_dim=64, dtype="float32"),
+        lr=1e-3,
+        num_epochs=2,
+        eval_every=1,
+        eval_hw=(64, 128),
+        ckpt_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+    )
+    from stswincl_tpu.pipelines.seg import run_seg_training
+
+    best = run_seg_training(cfg)
+    assert np.isfinite(best)
+    from stswincl_tpu.ckpt import latest_step
+    assert latest_step(cfg.ckpt_dir) is not None
+    assert os.path.exists(os.path.join(cfg.log_dir, "metrics.jsonl"))
+
+
+@pytest.mark.slow
+def test_contrast_training_e2e(tmp_path):
+    cfg = ContrastTrainConfig(
+        data=DataConfig(dataset="synthetic", t=4, crop_hw=(64, 128),
+                        num_classes=5, batch_size=8, num_workers=2),
+        model=ModelConfig(num_classes=5, swin_dim=64, dtype="float32"),
+        num_epochs=1,
+        warmup_epochs=0,
+        save_every_epochs=1,
+        ckpt_dir=str(tmp_path / "cl_ckpt"),
+        log_dir=str(tmp_path / "cl_logs"),
+    )
+    from stswincl_tpu.pipelines.contrast import run_contrast_pretraining
+
+    state = run_contrast_pretraining(cfg)
+    assert int(state.step) > 0
+    from stswincl_tpu.ckpt import latest_step
+    assert latest_step(cfg.ckpt_dir) is not None
