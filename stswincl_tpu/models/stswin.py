@@ -78,6 +78,7 @@ class TswinPlus(nn.Module):
     num_classes: int
     swin_dim: int = 512
     num_heads: int = 4
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     def trunk(self, x, train: bool):
@@ -94,7 +95,8 @@ class TswinPlus(nn.Module):
 
         stage1, stage2 = SwinTemporalStack(
             dim=self.swin_dim, input_resolution=(h8, w8),
-            num_heads=self.num_heads, dtype=self.dtype, name="swin",
+            num_heads=self.num_heads, attn_impl=self.attn_impl,
+            dtype=self.dtype, name="swin",
         )(feats)
         s1_last = stage1[:, -1]           # (B, h8, w8, 512)
         s2_last = stage2[:, -1]           # (B, h8/2, w8/2, 1024)

@@ -40,6 +40,7 @@ from stswincl_tpu.ops.window import (
     shifted_window_attention_mask,
 )
 from stswincl_tpu.ops.attention import space_time_window_attention
+from stswincl_tpu.ops.pallas_attention import space_time_window_attention_fused
 
 Dtype = Any
 
@@ -61,11 +62,16 @@ class Mlp(nn.Module):
 
 
 class WindowAttention(nn.Module):
-    """QKV + relative-position-bias window attention over (Bw, T, N, C)."""
+    """QKV + relative-position-bias window attention over (Bw, T, N, C).
+
+    `attn_impl`: 'einsum' (pure XLA), 'pallas' (fused VMEM-resident kernel,
+    TPU only), or 'auto' (pallas on TPU, einsum elsewhere).
+    """
 
     dim: int
     window_size: Tuple[int, int]
     num_heads: int
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -90,7 +96,12 @@ class WindowAttention(nn.Module):
         qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, Bw, heads, T*N, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        out = space_time_window_attention(q, k, v, rel_bias, mask, scale)
+        if self.attn_impl == "einsum":
+            out = space_time_window_attention(q, k, v, rel_bias, mask, scale)
+        else:
+            out = space_time_window_attention_fused(
+                q, k, v, rel_bias, mask, scale,
+                use_pallas=None if self.attn_impl == "auto" else True)
         out = out.transpose(0, 2, 1, 3).reshape(Bw, T, N, C)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         return out
@@ -109,6 +120,7 @@ class SpaceTimeSwinBlock(nn.Module):
     window_size: int = 8
     shift_size: int = 0
     mlp_ratio: float = 4.0
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -141,7 +153,8 @@ class SpaceTimeSwinBlock(nn.Module):
         else:
             mask = None
         attn = WindowAttention(
-            self.dim, (ws, ws), self.num_heads, dtype=self.dtype, name="attn"
+            self.dim, (ws, ws), self.num_heads, attn_impl=self.attn_impl,
+            dtype=self.dtype, name="attn",
         )(xw, mask)
 
         # reverse: (B*nW, T, N, C) -> (B*T, H, W, C)
@@ -223,6 +236,7 @@ class SwinTemporalStack(nn.Module):
     dim: int = 512
     input_resolution: Tuple[int, int] = (64, 80)
     num_heads: int = 4
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -240,20 +254,24 @@ class SwinTemporalStack(nn.Module):
             return (
                 SpaceTimeSwinBlock(
                     self.dim, (H, W), self.num_heads, window_size=8,
-                    shift_size=0, dtype=self.dtype, name=f"layers_{i}_w"),
+                    shift_size=0, attn_impl=self.attn_impl, dtype=self.dtype,
+                    name=f"layers_{i}_w"),
                 SpaceTimeSwinBlock(
                     self.dim, (H, W), self.num_heads, window_size=8,
-                    shift_size=4, dtype=self.dtype, name=f"layers_{i}_sw"),
+                    shift_size=4, attn_impl=self.attn_impl, dtype=self.dtype,
+                    name=f"layers_{i}_sw"),
             )
 
         def stage2_pair(i):
             return (
                 SpaceTimeSwinBlock(
                     self.dim * 2, res2, self.num_heads, window_size=4,
-                    shift_size=0, dtype=self.dtype, name=f"layers_{i}_w"),
+                    shift_size=0, attn_impl=self.attn_impl, dtype=self.dtype,
+                    name=f"layers_{i}_w"),
                 SpaceTimeSwinBlock(
                     self.dim * 2, res2, self.num_heads, window_size=4,
-                    shift_size=2, dtype=self.dtype, name=f"layers_{i}_sw"),
+                    shift_size=2, attn_impl=self.attn_impl, dtype=self.dtype,
+                    name=f"layers_{i}_sw"),
             )
 
         for i in range(3):

@@ -1,0 +1,88 @@
+"""Fused Pallas window attention vs einsum reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stswincl_tpu.ops import (
+    space_time_window_attention,
+    relative_position_index,
+    shifted_window_attention_mask,
+)
+from stswincl_tpu.ops.pallas_attention import space_time_window_attention_fused
+
+
+def _case(rng, with_mask, T=2, ws=4, heads=2, hd=16, H=8, W=12, B=2):
+    nW = (H // ws) * (W // ws)
+    Bw = B * nW
+    N = ws * ws
+    q = jnp.asarray(rng.standard_normal((Bw, heads, T * N, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((Bw, heads, T * N, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((Bw, heads, T * N, hd)).astype(np.float32))
+    table = rng.standard_normal(((2 * ws - 1) ** 2, heads)).astype(np.float32) * 0.02
+    idx = relative_position_index(ws, ws)
+    bias = jnp.asarray(table[idx.reshape(-1)].reshape(N, N, heads).transpose(2, 0, 1))
+    mask = (jnp.asarray(shifted_window_attention_mask(H, W, ws, 2))
+            if with_mask else None)
+    scale = hd ** -0.5
+    return q, k, v, bias, mask, scale
+
+
+def test_pallas_forward_matches_einsum(rng):
+    for with_mask in (False, True):
+        q, k, v, bias, mask, scale = _case(rng, with_mask)
+        want = space_time_window_attention(q, k, v, bias, mask, scale)
+        got = space_time_window_attention_fused(
+            q, k, v, bias, mask, scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_grads_match_einsum(rng):
+    q, k, v, bias, mask, scale = _case(rng, with_mask=True, B=1)
+
+    def loss_einsum(q, k, v):
+        return jnp.sum(
+            space_time_window_attention(q, k, v, bias, mask, scale) ** 2)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(space_time_window_attention_fused(
+            q, k, v, bias, mask, scale, interpret=True) ** 2)
+
+    g_want = jax.grad(loss_einsum, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_full_model_pallas_interpret_matches_einsum(rng):
+    """The whole swin stack with attn_impl routed through the (interpreted)
+    kernel must match the einsum stack bit-for-bit in structure."""
+    from stswincl_tpu.models import SwinTemporalStack
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16, 32)).astype(np.float32))
+    m_e = SwinTemporalStack(dim=32, input_resolution=(16, 16), num_heads=4,
+                            attn_impl="einsum")
+    v = m_e.init(jax.random.key(0), x)
+    s1_e, s2_e = m_e.apply(v, x)
+    # interpret-mode pallas path via monkeypatched default
+    import stswincl_tpu.ops.pallas_attention as pa
+    orig = pa.space_time_window_attention_fused
+
+    def forced(q, k, v_, rel_bias, mask, scale, use_pallas=None):
+        return orig(q, k, v_, rel_bias, mask, scale, interpret=True)
+
+    import stswincl_tpu.models.swin as swin_mod
+    swin_mod.space_time_window_attention_fused, saved = forced, \
+        swin_mod.space_time_window_attention_fused
+    try:
+        m_p = SwinTemporalStack(dim=32, input_resolution=(16, 16),
+                                num_heads=4, attn_impl="pallas")
+        s1_p, s2_p = m_p.apply(v, x)
+    finally:
+        swin_mod.space_time_window_attention_fused = saved
+    np.testing.assert_allclose(np.asarray(s1_p), np.asarray(s1_e),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2_p), np.asarray(s2_e),
+                               rtol=1e-4, atol=1e-4)
