@@ -90,8 +90,17 @@ class ContrastiveClipDataset:
             self.frames = frames_per_seq or {s: 149 for s in self.sequences}
             self.normalize = (IMAGENET_MEAN, IMAGENET_STD)
         else:
-            self.sequences = tuple(sequences) if sequences else ()
-            self.frames = frames_per_seq or {}
+            from stswincl_tpu.data.cadis import TRAIN_VIDEOS
+            self.sequences = tuple(sequences) if sequences else TRAIN_VIDEOS
+            if frames_per_seq:
+                self.frames = frames_per_seq
+            else:
+                # auto-discover per-video frame counts from disk (the
+                # reference hard-codes a counts table, dataset_cata.py:13-14)
+                self.frames = {s: len(self.paths_cadis(s))
+                               for s in self.sequences}
+                self.sequences = tuple(s for s in self.sequences
+                                       if self.frames[s] > 0)
             self.normalize = (CENTERNET_MEAN, CENTERNET_STD)
 
         self.samples = [(s, i) for i in range(max(self.frames.values()))

@@ -55,9 +55,11 @@ class EndovisDataset:
         sequences: Optional[Sequence[int]] = None,
         frames_per_seq: Optional[Dict[int, int]] = None,
         num_classes: int = 12,
+        rate: int = 1,
         augment: bool = True,
     ):
         assert split in ("train", "test")
+        self.rate = rate
         self.root = root
         self.split = split
         self.t = t
@@ -139,8 +141,17 @@ class EndovisDataset:
                 label = np.asarray(mask)
 
         image = clip.astype(np.float32) / 255.0
+        label = np.asarray(label)
+        if self.rate > 1:  # optional label subsampling (`:97`)
+            label = label[::self.rate, ::self.rate]
+        label = label.astype(np.int32)
+        if self.num_classes == 11:
+            # 11-class variant: drop class 9 absent from the test split
+            # (`Endovis2018_new.py:100-103`)
+            label = np.where(label == 9, 0, label)
+            label = np.where(label > 9, label - 1, label)
         return {
             "path": (seq, frame),
             "image": image,  # (t, H, W, 3) float32 in [0, 1]
-            "label": label.astype(np.int32),  # (H, W) train / (1024,1280) test
+            "label": label,  # (H, W) train / (1024,1280) test
         }
