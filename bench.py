@@ -24,6 +24,11 @@ import json
 import time
 
 import jax
+
+# persistent compilation cache: compiles through the TPU tunnel are slow
+# (minutes); cache hits make repeat runs near-instant
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
