@@ -20,6 +20,8 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stswincl_tpu.models.init import torch_conv_kernel_init, torch_bias_init
+
 Dtype = Any
 
 
@@ -32,12 +34,15 @@ class ConvBNRelu(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         pad = self.dilation * (self.kernel - 1) // 2
+        fan_in = self.kernel * self.kernel * x.shape[-1]
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             padding=((pad, pad), (pad, pad)),
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=True,  # reference ASPP convs keep their bias
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_bias_init(fan_in),
             dtype=self.dtype,
             name="conv",
         )(x)
@@ -76,6 +81,9 @@ class ASPP(nn.Module):
         out = jnp.concatenate([b0, b1, b2, b3, img], axis=-1)
         out = ConvBNRelu(mid, 1, dtype=self.dtype, name="fuse")(out, train)
         out = nn.Conv(
-            self.out_channels, (1, 1), use_bias=True, dtype=self.dtype, name="out_conv"
+            self.out_channels, (1, 1), use_bias=True,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_bias_init(out.shape[-1]),
+            dtype=self.dtype, name="out_conv",
         )(out)
         return out

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from stswincl_tpu.models.stswin import TswinPlus
+from stswincl_tpu.models.init import torch_conv_kernel_init, torch_bias_init
 
 Dtype = Any
 
@@ -38,11 +39,17 @@ class MLP2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(self.inner_dim, (1, 1), use_bias=True, dtype=self.dtype, name="linear1")(x)
+        x = nn.Conv(self.inner_dim, (1, 1), use_bias=True,
+                    kernel_init=torch_conv_kernel_init,
+                    bias_init=torch_bias_init(x.shape[-1]),
+                    dtype=self.dtype, name="linear1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x.astype(self.dtype))
-        x = nn.Conv(self.out_dim, (1, 1), use_bias=True, dtype=self.dtype, name="linear2")(x)
+        x = nn.Conv(self.out_dim, (1, 1), use_bias=True,
+                    kernel_init=torch_conv_kernel_init,
+                    bias_init=torch_bias_init(x.shape[-1]),
+                    dtype=self.dtype, name="linear2")(x)
         return x
 
 

@@ -27,6 +27,8 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stswincl_tpu.models.init import torch_conv_kernel_init
+
 Dtype = Any
 
 
@@ -49,6 +51,7 @@ class ConvBN(nn.Module):
             padding=((pad, pad), (pad, pad)),
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=False,
+            kernel_init=torch_conv_kernel_init,
             dtype=self.dtype,
             name="conv",
         )(x)

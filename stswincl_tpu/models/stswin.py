@@ -32,6 +32,7 @@ from stswincl_tpu.models.resnet import ResNet18OS8, ResNet50OS16
 from stswincl_tpu.models.swin import SwinTemporalStack
 from stswincl_tpu.models.aspp import ASPP
 from stswincl_tpu.ops.resize import resize_bilinear
+from stswincl_tpu.models.init import torch_conv_kernel_init, torch_bias_init
 
 Dtype = Any
 
@@ -44,7 +45,9 @@ class ProjectBNRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False,
+                    kernel_init=torch_conv_kernel_init,
+                    dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn")(x)
         return nn.relu(x.astype(self.dtype))
@@ -60,11 +63,15 @@ class Classifier(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    kernel_init=torch_conv_kernel_init,
                     dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn")(x)
         x = nn.relu(x.astype(self.dtype))
-        x = nn.Conv(self.num_classes, (1, 1), use_bias=True, dtype=self.dtype, name="conv2")(x)
+        x = nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                    kernel_init=torch_conv_kernel_init,
+                    bias_init=torch_bias_init(x.shape[-1]),
+                    dtype=self.dtype, name="conv2")(x)
         return x
 
 

@@ -41,6 +41,7 @@ from stswincl_tpu.ops.window import (
 )
 from stswincl_tpu.ops.attention import space_time_window_attention
 from stswincl_tpu.ops.pallas_attention import space_time_window_attention_fused
+from stswincl_tpu.models.init import torch_dense_kernel_init, torch_bias_init
 
 Dtype = Any
 
@@ -55,9 +56,13 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(self.hidden, kernel_init=torch_dense_kernel_init,
+                     bias_init=torch_bias_init(x.shape[-1]),
+                     dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
-        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(self.out, kernel_init=torch_dense_kernel_init,
+                     bias_init=torch_bias_init(x.shape[-1]),
+                     dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -91,7 +96,10 @@ class WindowAttention(nn.Module):
         rel_bias = bias_table[rel_idx.reshape(-1)].reshape(N, N, self.num_heads)
         rel_bias = rel_bias.transpose(2, 0, 1)  # (heads, N, N)
 
-        qkv = nn.Dense(3 * self.dim, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(3 * self.dim, use_bias=True,
+                       kernel_init=torch_dense_kernel_init,
+                       bias_init=torch_bias_init(C),
+                       dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(Bw, T * N, 3, self.num_heads, head_dim)
         qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, Bw, heads, T*N, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -103,7 +111,9 @@ class WindowAttention(nn.Module):
                 q, k, v, rel_bias, mask, scale,
                 use_pallas=None if self.attn_impl == "auto" else True)
         out = out.transpose(0, 2, 1, 3).reshape(Bw, T, N, C)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(self.dim, kernel_init=torch_dense_kernel_init,
+                       bias_init=torch_bias_init(C),
+                       dtype=self.dtype, name="proj")(out)
         return out
 
 
@@ -193,7 +203,9 @@ class PatchMerging(nn.Module):
         xc = jnp.concatenate([x0, x1, x2, x3], axis=-1)  # (B*T, H/2, W/2, 4C)
         xc = xc.reshape(B * T, L // 4, 4 * C)
         xc = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xc)
-        xc = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(xc)
+        xc = nn.Dense(2 * C, use_bias=False,
+                      kernel_init=torch_dense_kernel_init,
+                      dtype=self.dtype, name="reduction")(xc)
         return xc.reshape(B, T, L // 4, 2 * C)
 
 

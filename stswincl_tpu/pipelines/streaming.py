@@ -1,0 +1,130 @@
+"""Streaming video inference with a backbone feature cache.
+
+The reference test loop (`seg18/test.py:148-160`) re-runs the ResNet
+backbone on all 4 clip frames for EVERY output frame, although consecutive
+clips share 3 of their 4 frames. The backbone is ~60% of total FLOPs, so a
+rolling per-frame feature cache makes steady-state video serving ~2.2x
+cheaper: each new frame costs ONE backbone pass + the (uncacheable — its
+attention mixes frames) swin/head stack.
+
+This is a serving-path capability beyond the reference with identical
+numerics: `predict_next` == the full-clip forward over the same 4 frames
+(`tests/test_streaming.py`).
+
+Implementation: two thin flax modules (`_Backbone`, `_Head`) declare the
+same-named submodules as `TswinPlus` (resnet / swin / aspp / project1-3 /
+classifier), so the trained TswinPlus variable tree feeds both directly.
+The cache is a shape-static (B, T, h8, w8, C) ring (shift + append), so the
+step function jits once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from stswincl_tpu.models.resnet import ResNet18OS8
+from stswincl_tpu.models.swin import SwinTemporalStack
+from stswincl_tpu.models.aspp import ASPP
+from stswincl_tpu.models.stswin import ProjectBNRelu, Classifier
+from stswincl_tpu.ops.resize import resize_bilinear, resize_bilinear_align_corners
+
+
+class _Backbone(nn.Module):
+    swin_dim: int
+    dtype: object
+
+    @nn.compact
+    def __call__(self, frames):
+        return ResNet18OS8(width=self.swin_dim // 8, dtype=self.dtype,
+                           name="resnet")(frames, False)
+
+
+class _Head(nn.Module):
+    num_classes: int
+    swin_dim: int
+    num_heads: int
+    attn_impl: str
+    dtype: object
+
+    @nn.compact
+    def __call__(self, feats):
+        B, T, h8, w8, C = feats.shape
+        res_last = feats[:, -1]
+        stage1, stage2 = SwinTemporalStack(
+            dim=self.swin_dim, input_resolution=(h8, w8),
+            num_heads=self.num_heads, attn_impl=self.attn_impl,
+            dtype=self.dtype, name="swin")(feats)
+        s1_last, s2_last = stage1[:, -1], stage2[:, -1]
+        aspp_out = ASPP(self.swin_dim * 2, 256, dtype=self.dtype,
+                        name="aspp")(s2_last, False)
+        p1 = ProjectBNRelu(dtype=self.dtype, name="project1")(res_last, False)
+        p2 = ProjectBNRelu(dtype=self.dtype, name="project2")(s1_last, False)
+        p3 = ProjectBNRelu(dtype=self.dtype, name="project3")(s2_last, False)
+        p3 = resize_bilinear(p3, h8, w8)
+        aspp_up = resize_bilinear(aspp_out, h8, w8)
+        feats400 = jnp.concatenate([p1, p2, p3, aspp_up], axis=-1)
+        logits = Classifier(self.num_classes, dtype=self.dtype,
+                            name="classifier")(feats400, False)
+        return resize_bilinear(logits.astype(jnp.float32), h8 * 8, w8 * 8)
+
+
+def _split_variables(variables, keys):
+    out = {}
+    for coll, tree in variables.items():
+        sub = {k: v for k, v in tree.items() if k in keys}
+        if sub:
+            out[coll] = sub
+    return out
+
+
+class StreamingSegmenter:
+    """Feature-cached per-frame segmentation over a video stream.
+
+    Usage:
+        seg = StreamingSegmenter(model, variables, out_hw=(1024, 1280))
+        cache = seg.init_cache(first_clip)          # (B, T, H, W, 3) warmup
+        for frame in stream:                        # (B, H, W, 3)
+            cache, pred = seg.predict_next(cache, frame)
+    """
+
+    HEAD_KEYS = ("swin", "aspp", "project1", "project2", "project3",
+                 "classifier")
+
+    def __init__(self, model, variables, out_hw: Optional[Tuple[int, int]] = None):
+        self.out_hw = out_hw
+        backbone = _Backbone(model.swin_dim, model.dtype)
+        head = _Head(model.num_classes, model.swin_dim, model.num_heads,
+                     model.attn_impl, model.dtype)
+        bb_vars = _split_variables(variables, ("resnet",))
+        head_vars = _split_variables(variables, self.HEAD_KEYS)
+
+        @jax.jit
+        def _init_cache(clip):
+            B, T, H, W, C = clip.shape
+            feats = backbone.apply(bb_vars, clip.reshape(B * T, H, W, C))
+            return feats.reshape(B, T, *feats.shape[1:])
+
+        @jax.jit
+        def _step(cache, frame):
+            new_feat = backbone.apply(bb_vars, frame)  # (B, h8, w8, C)
+            cache = jnp.concatenate([cache[:, 1:], new_feat[:, None]], axis=1)
+            logits = head.apply(head_vars, cache)
+            if out_hw is not None:
+                logits = resize_bilinear_align_corners(logits, *out_hw)
+            return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        self._init_cache_fn = _init_cache
+        self._step_fn = _step
+
+    def init_cache(self, clip: jnp.ndarray):
+        """Warm the cache with a full (B, T, H, W, 3) clip."""
+        return self._init_cache_fn(clip)
+
+    def predict_next(self, cache, frame: jnp.ndarray):
+        """Advance the stream by one (B, H, W, 3) frame; returns
+        (new_cache, prediction)."""
+        return self._step_fn(cache, frame)

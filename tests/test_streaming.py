@@ -1,0 +1,27 @@
+"""Streaming segmenter == full-clip forward for identical frames."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stswincl_tpu.models import TswinPlus
+from stswincl_tpu.pipelines.streaming import StreamingSegmenter
+
+
+def test_streaming_matches_full_clip(rng):
+    model = TswinPlus(num_classes=5, swin_dim=64)
+    H, W = 64, 128
+    frames = rng.standard_normal((7, H, W, 3)).astype(np.float32)
+    clip0 = jnp.asarray(frames[None, 0:4])  # (1, 4, H, W, 3)
+    variables = model.init(jax.random.key(0), clip0, train=False)
+
+    seg = StreamingSegmenter(model, variables, out_hw=None)
+    cache = seg.init_cache(clip0)
+
+    for i in range(4, 7):
+        cache, pred = seg.predict_next(
+            cache, jnp.asarray(frames[None, i]))
+        clip = jnp.asarray(frames[None, i - 3:i + 1])
+        full_logits = model.apply(variables, clip, train=False)
+        full_pred = jnp.argmax(full_logits, axis=-1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(pred), np.asarray(full_pred))
