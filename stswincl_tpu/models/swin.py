@@ -249,6 +249,7 @@ class SwinTemporalStack(nn.Module):
     input_resolution: Tuple[int, int] = (64, 80)
     num_heads: int = 4
     attn_impl: str = "auto"
+    remat: bool = False  # rematerialize each block in the backward pass
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -262,13 +263,17 @@ class SwinTemporalStack(nn.Module):
 
         x = x.reshape(B, T, H * W, C)
 
+        # jax.checkpoint per block: trades recompute for activation memory —
+        # the TPU equivalent of torch checkpointing the swin layers
+        block_cls = nn.remat(SpaceTimeSwinBlock) if self.remat else SpaceTimeSwinBlock
+
         def stage1_pair(i):
             return (
-                SpaceTimeSwinBlock(
+                block_cls(
                     self.dim, (H, W), self.num_heads, window_size=8,
                     shift_size=0, attn_impl=self.attn_impl, dtype=self.dtype,
                     name=f"layers_{i}_w"),
-                SpaceTimeSwinBlock(
+                block_cls(
                     self.dim, (H, W), self.num_heads, window_size=8,
                     shift_size=4, attn_impl=self.attn_impl, dtype=self.dtype,
                     name=f"layers_{i}_sw"),
@@ -276,11 +281,11 @@ class SwinTemporalStack(nn.Module):
 
         def stage2_pair(i):
             return (
-                SpaceTimeSwinBlock(
+                block_cls(
                     self.dim * 2, res2, self.num_heads, window_size=4,
                     shift_size=0, attn_impl=self.attn_impl, dtype=self.dtype,
                     name=f"layers_{i}_w"),
-                SpaceTimeSwinBlock(
+                block_cls(
                     self.dim * 2, res2, self.num_heads, window_size=4,
                     shift_size=2, attn_impl=self.attn_impl, dtype=self.dtype,
                     name=f"layers_{i}_sw"),

@@ -35,53 +35,73 @@ from jax.experimental.pallas import tpu as pltpu
 from stswincl_tpu.ops.attention import space_time_window_attention
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *, scale):
-    """One (window, head) tile: scores never leave VMEM.
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
+                 scale, wpc):
+    """One cell = `wpc` consecutive windows of one head; scores stay in VMEM.
 
-    Refs: q/k/v (1, 1, TN, hd); bias/mask (1, TN, TN); out (1, 1, TN, hd).
+    Refs: q/k/v (wpc, 1, TN, hd); bias (1, TN, TN); mask (wpc, TN, TN);
+    out (wpc, 1, TN, hd). The window loop is static (unrolled), each
+    iteration two MXU-shaped (TN, hd)x(TN, TN) contractions.
     """
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
-    scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (TN, TN)
-    scores = scores + bias_ref[0].astype(jnp.float32)
-    scores = scores + mask_ref[0].astype(jnp.float32)
-    # numerically-stable softmax in fp32, fully in registers/VMEM
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = jnp.dot(p.astype(v_ref.dtype), v_ref[0, 0],
-                  preferred_element_type=jnp.float32)
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+    bias = bias_ref[0].astype(jnp.float32)
+    for w in range(wpc):
+        q = q_ref[w, 0].astype(jnp.float32) * scale
+        k = k_ref[w, 0].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TN, TN)
+        scores = scores + bias + mask_ref[w].astype(jnp.float32)
+        # numerically-stable softmax in fp32, fully in registers/VMEM
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        out = jnp.dot(p.astype(v_ref.dtype), v_ref[w, 0],
+                      preferred_element_type=jnp.float32)
+        out_ref[w, 0] = out.astype(out_ref.dtype)
+
+
+def _pick_windows_per_cell(nW: int, Bw: int) -> int:
+    """Largest divisor of nW (and Bw) <= 8 to amortize per-cell overhead."""
+    for wpc in (8, 5, 4, 2):
+        if nW % wpc == 0 and Bw % wpc == 0:
+            return wpc
+    return 1
 
 
 def _pallas_attention(q, k, v, bias_tiled, mask_tiled, scale, interpret=False):
-    """q/k/v: (Bw, heads, TN, hd); bias_tiled: (heads, TN, TN);
-    mask_tiled: (nW, TN, TN) with nW dividing Bw."""
+    """q/k/v: (Bw, heads, TN, hd) with window-minor ordering (index =
+    batch * nW + window); bias_tiled: (heads, TN, TN); mask_tiled:
+    (nW, TN, TN) with nW dividing Bw."""
     Bw, heads, TN, hd = q.shape
     nW = mask_tiled.shape[0]
+    if nW == 1:  # W-MSA zero mask: every window shares it
+        wpc = _pick_windows_per_cell(8 if Bw % 8 == 0 else 1, Bw)
+        mask_tiled = jnp.broadcast_to(mask_tiled, (wpc, TN, TN))
+        nW_blocks = 1
+    else:
+        wpc = _pick_windows_per_cell(nW, Bw)
+        nW_blocks = nW // wpc
 
-    grid = (Bw, heads)
-    kernel = functools.partial(_attn_kernel, scale=scale)
+    grid = (Bw // wpc, heads)
+    kernel = functools.partial(_attn_kernel, scale=scale, wpc=wpc)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, TN, hd), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((wpc, 1, TN, hd), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, hd), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((wpc, 1, TN, hd), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, hd), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((wpc, 1, TN, hd), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TN, TN), lambda b, h: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN, TN), lambda b, h: (b % nW, 0, 0),
+            pl.BlockSpec((wpc, TN, TN), lambda b, h: (b % nW_blocks, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, TN, hd), lambda b, h: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((wpc, 1, TN, hd), lambda b, h: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, v.dtype),
         interpret=interpret,
@@ -151,6 +171,13 @@ def _is_tpu_backend() -> bool:
         return False
 
 
+# Measured on v5e (tools/profile_components.py): the one-(window,head)-per-
+# cell kernel underperforms the XLA einsum path (19.8 vs 17.3 ms for the
+# full stack) — per-cell dispatch overhead dominates at 4 MFLOP/cell. Until
+# the window-batched kernel wins, 'auto' resolves to einsum.
+_AUTO_USES_PALLAS = False
+
+
 def space_time_window_attention_fused(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -164,7 +191,7 @@ def space_time_window_attention_fused(
     """Drop-in replacement for `space_time_window_attention` that routes to
     the fused Pallas kernel on TPU (einsum fallback elsewhere)."""
     if use_pallas is None:
-        use_pallas = _is_tpu_backend()
+        use_pallas = _AUTO_USES_PALLAS and _is_tpu_backend()
     if not (use_pallas or interpret):
         return space_time_window_attention(q, k, v, rel_bias, mask, scale)
 

@@ -34,7 +34,9 @@ def build_model(model_cfg: ModelConfig, data_cfg: DataConfig):
     if model_cfg.arch == "puredeeplab18":
         return DeepLabV3Plus(num_classes=num_classes, dtype=dtype), num_classes
     return TswinPlus(num_classes=num_classes, swin_dim=model_cfg.swin_dim,
-                     num_heads=model_cfg.num_heads, dtype=dtype), num_classes
+                     num_heads=model_cfg.num_heads,
+                     attn_impl=model_cfg.attn_impl, remat=model_cfg.remat,
+                     dtype=dtype), num_classes
 
 
 def build_seg_dataset(cfg: DataConfig, split: str):

@@ -97,3 +97,24 @@ def test_contrast_encoder_normalized(rng):
     assert y.shape == (1, 16, 24, 256)
     norms = np.linalg.norm(np.asarray(y), axis=-1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_remat_grads_match(rng):
+    """Block rematerialization must not change gradients."""
+    import optax
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16, 32)).astype(np.float32))
+    m0 = SwinTemporalStack(dim=32, input_resolution=(16, 16), num_heads=4)
+    m1 = SwinTemporalStack(dim=32, input_resolution=(16, 16), num_heads=4,
+                           remat=True)
+    v = m0.init(jax.random.key(0), x)
+
+    def loss(mod, params):
+        s1, s2 = mod.apply(params, x)
+        return jnp.sum(s1 ** 2) + jnp.sum(s2 ** 2)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(v)
+    g1 = jax.grad(lambda p: loss(m1, p))(v)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
