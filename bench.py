@@ -75,7 +75,20 @@ def main():
         dt = time.perf_counter() - t0
         best_fps = max(best_fps, N_CHAIN / dt)
 
-    print(f"device-chained throughput: {best_fps:.2f} fps", file=sys.stderr)
+    print(f"device-chained throughput bs=1: {best_fps:.2f} fps",
+          file=sys.stderr)
+
+    # secondary: batched serving throughput (frames/sec/chip at bs=8)
+    try:
+        clip8 = jnp.asarray(rng.random((8, 4, 512, 640, 3), dtype=np.float32))
+        float(chained(variables, clip8))
+        t0 = time.perf_counter()
+        float(chained(variables, clip8))
+        dt = time.perf_counter() - t0
+        print(f"device-chained throughput bs=8: "
+              f"{8 * N_CHAIN / dt:.2f} frames/sec/chip", file=sys.stderr)
+    except Exception as e:  # memory or compile limits must not kill the bench
+        print(f"bs=8 probe skipped: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "endovis18_infer_fps_512x640_bs1",

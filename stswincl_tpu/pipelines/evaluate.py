@@ -28,10 +28,10 @@ from stswincl_tpu.data.loader import _seeded_rng
 def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
                    eval_step=None, max_frames: Optional[int] = None) -> Dict:
     """Run the full eval protocol over `dataset`; returns the summary dict."""
-    if eval_step is None:
-        eval_step = make_seg_eval_step(model, out_hw=cfg.eval_hw)
-
     is_cadis = cfg.data.dataset == "cadis"
+    if eval_step is None:
+        eval_step = make_seg_eval_step(model, out_hw=cfg.eval_hw,
+                                       align_corners=not is_cadis)
     if is_cadis:
         num_classes = CADIS_CLASS_NUM[cfg.data.tag]
         cm = ConfusionMatrix(num_classes - 1)  # ignore class excluded

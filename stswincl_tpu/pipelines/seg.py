@@ -135,7 +135,12 @@ def run_seg_training(cfg: SegTrainConfig):
     train_step = make_seg_train_step(
         model, tx, loss_type=cfg.loss, ohem_thresh=cfg.ohem_thresh,
         ignore_index=ignore_index)
-    eval_step = make_seg_eval_step(model, out_hw=cfg.eval_hw)
+    is_cadis = cfg.data.dataset == "cadis"
+    eval_hw = cfg.eval_hw
+    if is_cadis and tuple(eval_hw) == (1024, 1280):
+        eval_hw = (540, 960)  # CaDIS scoring resolution (cata_test.py)
+    eval_step = make_seg_eval_step(model, out_hw=eval_hw,
+                                   align_corners=not is_cadis)
 
     best_iou, best_epoch = 0.0, 0
     for epoch in range(start_epoch, cfg.num_epochs):

@@ -124,14 +124,18 @@ def make_seg_train_step(
     return train_step
 
 
-def make_seg_eval_step(model, out_hw: Optional[Tuple[int, int]] = None) -> Callable:
+def make_seg_eval_step(model, out_hw: Optional[Tuple[int, int]] = None,
+                       align_corners: bool = True) -> Callable:
     """Jitted eval: clip -> predicted class map.
 
-    Replicates `seg18/test.py:152-158` INSIDE one XLA program: forward,
-    bilinear align_corners=True upsample to scoring resolution, softmax,
-    argmax — no host round-trips until the final int map (the reference
-    pays a GPU->CPU copy + python loop per frame).
+    Replicates the reference test loops INSIDE one XLA program: forward,
+    bilinear upsample to scoring resolution, softmax, argmax — no host
+    round-trips until the final int map (the reference pays a GPU->CPU copy
+    + python loop per frame). EndoVis scores with align_corners=True
+    (`seg18/test.py:155`); CaDIS with align_corners=False
+    (`segcata/cata_test.py:129`) — pass the matching flag.
     """
+    from stswincl_tpu.ops.resize import resize_bilinear
 
     @jax.jit
     def eval_step(params, batch_stats, images):
@@ -139,7 +143,10 @@ def make_seg_eval_step(model, out_hw: Optional[Tuple[int, int]] = None) -> Calla
             {"params": params, "batch_stats": batch_stats},
             images, train=False)
         if out_hw is not None:
-            logits = resize_bilinear_align_corners(logits, *out_hw)
+            if align_corners:
+                logits = resize_bilinear_align_corners(logits, *out_hw)
+            else:
+                logits = resize_bilinear(logits.astype(jnp.float32), *out_hw)
         # softmax then argmax == argmax of logits, kept for parity clarity
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
