@@ -148,6 +148,8 @@ class DeepLabV3Plus(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if x.ndim == 5:  # clip input: segment the last frame (t=1 clips too)
+            x = x[:, -1]
         B, H, W, _ = x.shape
         if self.layers == 50:
             feats = ResNet50OS16(dtype=self.dtype, name="resnet")(x, train)
