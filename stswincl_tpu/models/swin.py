@@ -42,6 +42,7 @@ from stswincl_tpu.ops.window import (
 from stswincl_tpu.ops.attention import space_time_window_attention
 from stswincl_tpu.ops.pallas_attention import space_time_window_attention_fused
 from stswincl_tpu.models.init import torch_dense_kernel_init, torch_bias_init
+from stswincl_tpu.ops.pallas_layernorm import FusedLayerNorm
 
 Dtype = Any
 
@@ -175,9 +176,9 @@ class SpaceTimeSwinBlock(nn.Module):
 
         # --- reference's nonstandard residual/norm order (`:234-235`) ---
         x = shortcut + xo  # no pre-norm on the attention branch
-        mlp_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        mlp_in = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(mlp_in)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + mlp_out)
+        x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + mlp_out)
         return x
 
 
@@ -202,7 +203,7 @@ class PatchMerging(nn.Module):
         x3 = xi[:, 1::2, 1::2, :]
         xc = jnp.concatenate([x0, x1, x2, x3], axis=-1)  # (B*T, H/2, W/2, 4C)
         xc = xc.reshape(B * T, L // 4, 4 * C)
-        xc = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xc)
+        xc = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xc)
         xc = nn.Dense(2 * C, use_bias=False,
                       kernel_init=torch_dense_kernel_init,
                       dtype=self.dtype, name="reduction")(xc)
