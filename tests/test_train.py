@@ -163,3 +163,30 @@ def test_seg_train_step_sharded_matches_single(rng):
     sbn = jax.tree.leaves(state_b.batch_stats)[0]
     np.testing.assert_allclose(np.asarray(sa), np.asarray(sbn), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_contrast_train_step_sharded_matches_single(rng):
+    """Stage-2 step on the 8-device mesh == single device (grads + EMA)."""
+    model = TinyContrast()
+    clips = jnp.asarray(
+        rng.standard_normal((8, 6, 2, 16, 16, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 5, size=(8, 6, 16, 16)).astype(np.int32))
+    variables = model.init(jax.random.key(0), clips[:, 0], train=False)
+    tx = make_lars(0.1)
+    step = make_contrast_train_step(model, tx, class_num=5, total_steps=100)
+
+    s_a = ContrastTrainState.create(variables, tx)
+    s_a, m_a = step(s_a, clips, labels)
+
+    mesh = make_mesh(8)
+    s_b = ContrastTrainState.create(variables, tx)
+    s_b = replicate(s_b, mesh)
+    sb = shard_batch({"clips": clips, "labels": labels}, mesh)
+    s_b, m_b = step(s_b, sb["clips"], sb["labels"])
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    la = jax.tree.leaves(s_a.params_q)[0]
+    lb = jax.tree.leaves(s_b.params_q)[0]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4,
+                               atol=1e-5)
