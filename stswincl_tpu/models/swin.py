@@ -68,10 +68,20 @@ class Mlp(nn.Module):
 
 
 class WindowAttention(nn.Module):
-    """QKV + relative-position-bias window attention over (Bw, T, N, C).
+    """QKV + relative-position-bias window attention on an image-layout
+    clip (B, T, H, W, C) -> (B, T, H, W, C); input is already cyclically
+    shifted for SW-MSA. Partitioning happens inside, per implementation:
 
-    `attn_impl`: 'einsum' (pure XLA), 'pallas' (fused VMEM-resident kernel,
-    TPU only), or 'auto' (pallas on TPU, einsum elsewhere).
+    `attn_impl`:
+      * 'einsum' — partition via reshapes XLA folds into the matmuls, score
+        tensor materialized in HBM (the robust default);
+      * 'pallas' — the image-layout fused kernel: one grid cell per window
+        reads the (T, ws, ws, 3C) qkv tile (partition == BlockSpec),
+        computes fp32 scores/softmax in VMEM, writes the output tile back
+        in image layout (reverse for free);
+      * 'pallas_windows' — the earlier per-window-tile kernel (kept for
+        comparison);
+      * 'auto' — currently einsum (see ops/pallas_attention.py note).
     """
 
     dim: int
@@ -82,36 +92,65 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask):
-        Bw, T, N, C = x.shape
-        head_dim = self.dim // self.num_heads
+        B, T, H, W, C = x.shape
+        ws = self.window_size[0]
+        nH, nW_ = H // ws, W // ws
+        n_windows = nH * nW_
+        N = ws * ws
+        TN = T * N
+        heads = self.num_heads
+        head_dim = self.dim // heads
         scale = head_dim ** -0.5
 
         num_rel = (2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1)
         bias_table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(stddev=0.02),
-            (num_rel, self.num_heads),
+            (num_rel, heads),
             jnp.float32,
         )
         rel_idx = relative_position_index(*self.window_size)  # host constant
-        rel_bias = bias_table[rel_idx.reshape(-1)].reshape(N, N, self.num_heads)
+        rel_bias = bias_table[rel_idx.reshape(-1)].reshape(N, N, heads)
         rel_bias = rel_bias.transpose(2, 0, 1)  # (heads, N, N)
 
+        # pointwise qkv on the image layout (commutes with partitioning)
         qkv = nn.Dense(3 * self.dim, use_bias=True,
                        kernel_init=torch_dense_kernel_init,
                        bias_init=torch_bias_init(C),
                        dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(Bw, T * N, 3, self.num_heads, head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, Bw, heads, T*N, hd)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
-        if self.attn_impl == "einsum":
-            out = space_time_window_attention(q, k, v, rel_bias, mask, scale)
+        impl = self.attn_impl
+        if impl == "auto":
+            impl = "einsum"  # measured faster than both kernels so far
+
+        if impl == "pallas":
+            from stswincl_tpu.ops.pallas_block_attention import (
+                windowed_attention_image)
+            bias_tiled = jnp.tile(rel_bias.astype(jnp.float32), (1, T, T))
+            if mask is None:
+                mask_tiled = jnp.zeros((1, TN, TN), jnp.float32)
+            else:
+                mask_tiled = jnp.tile(mask.astype(jnp.float32), (1, T, T))
+            out = windowed_attention_image(qkv, bias_tiled, mask_tiled,
+                                           heads, scale, ws)
         else:
-            out = space_time_window_attention_fused(
-                q, k, v, rel_bias, mask, scale,
-                use_pallas=None if self.attn_impl == "auto" else True)
-        out = out.transpose(0, 2, 1, 3).reshape(Bw, T, N, C)
+            # partition the qkv tensor to frame-joint windows
+            xw = qkv.reshape(B, T, nH, ws, nW_, ws, 3 * C)
+            xw = xw.transpose(0, 2, 4, 1, 3, 5, 6)
+            xw = xw.reshape(B * n_windows, TN, 3, heads, head_dim)
+            xw = xw.transpose(2, 0, 3, 1, 4)  # (3, Bw, heads, TN, hd)
+            q, k, v = xw[0], xw[1], xw[2]
+            if impl == "pallas_windows":
+                out = space_time_window_attention_fused(
+                    q, k, v, rel_bias, mask, scale, use_pallas=True)
+            else:
+                out = space_time_window_attention(q, k, v, rel_bias, mask,
+                                                  scale)
+            # reverse to image layout
+            out = out.transpose(0, 2, 1, 3)  # (Bw, TN, heads, hd)
+            out = out.reshape(B, nH, nW_, T, ws, ws, C)
+            out = out.transpose(0, 3, 1, 4, 2, 5, 6).reshape(B, T, H, W, C)
+
         out = nn.Dense(self.dim, kernel_init=torch_dense_kernel_init,
                        bias_init=torch_bias_init(C),
                        dtype=self.dtype, name="proj")(out)
@@ -151,11 +190,7 @@ class SpaceTimeSwinBlock(nn.Module):
 
         xi = x.reshape(B * T, H, W, C)
         xi = cyclic_shift(xi, ss)
-
-        # partition + regroup to frame-joint windows: (B*nW, T, N, C)
-        xw = xi.reshape(B, T, nH, ws, nW_, ws, C)
-        xw = xw.transpose(0, 2, 4, 1, 3, 5, 6)  # (B, nH, nW, T, ws, ws, C)
-        xw = xw.reshape(B * n_windows, T, N, C)
+        xi = xi.reshape(B, T, H, W, C)
 
         if ss > 0:
             mask = jnp.asarray(
@@ -166,19 +201,20 @@ class SpaceTimeSwinBlock(nn.Module):
         attn = WindowAttention(
             self.dim, (ws, ws), self.num_heads, attn_impl=self.attn_impl,
             dtype=self.dtype, name="attn",
-        )(xw, mask)
+        )(xi, mask)
 
-        # reverse: (B*nW, T, N, C) -> (B*T, H, W, C)
-        xo = attn.reshape(B, nH, nW_, T, ws, ws, C)
-        xo = xo.transpose(0, 3, 1, 4, 2, 5, 6).reshape(B * T, H, W, C)
+        xo = attn.reshape(B * T, H, W, C)
         xo = cyclic_shift(xo, ss, reverse=True)
         xo = xo.reshape(B, T, L, C)
 
         # --- reference's nonstandard residual/norm order (`:234-235`) ---
         x = shortcut + xo  # no pre-norm on the attention branch
-        mlp_in = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        # measured: flax LN (XLA-fused with the residual adds) beats the
+        # standalone pallas LN kernel here (17.35 vs 18.15 ms stack time) —
+        # the fused kernel fragments XLA's surrounding fusions.
+        mlp_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(mlp_in)
-        x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + mlp_out)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + mlp_out)
         return x
 
 
@@ -203,7 +239,7 @@ class PatchMerging(nn.Module):
         x3 = xi[:, 1::2, 1::2, :]
         xc = jnp.concatenate([x0, x1, x2, x3], axis=-1)  # (B*T, H/2, W/2, 4C)
         xc = xc.reshape(B * T, L // 4, 4 * C)
-        xc = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xc)
+        xc = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xc)
         xc = nn.Dense(2 * C, use_bias=False,
                       kernel_init=torch_dense_kernel_init,
                       dtype=self.dtype, name="reduction")(xc)

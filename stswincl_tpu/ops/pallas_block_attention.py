@@ -1,0 +1,215 @@
+"""Image-layout fused window attention — the north-star Pallas kernel.
+
+Fuses the (window partition -> per-head joint space-time attention with
+relative bias + SW-MSA mask -> window reverse) pipeline of each swin block
+into ONE kernel operating directly on the image-layout qkv tensor
+(B, T, H, W, 3C). The qkv/proj projections stay in XLA (they already run
+near MXU peak); what this kernel removes is everything between them:
+
+  * the window partition / regroup / reverse transposes (materialized
+    reshapes, ~1.5 ms/forward in the einsum path's device trace),
+  * the (Bw, heads, TN, TN) fp32 score tensor and its softmax round trips
+    through HBM (the convert_reduce traffic),
+  * per-window bias/mask re-reads (constant-index blocks stay resident).
+
+Each grid cell (b, i, j) reads one (T, ws, ws, 3C) window tile — which IS
+the window across all T frames, so partitioning is just the BlockSpec —
+loops over heads computing fp32 scores/softmax in VMEM, and writes the
+(T, ws, ws, C) attention output back in image layout (window reverse for
+free). Cyclic shifts stay outside (one cheap roll each way).
+
+Differentiable via custom_vjp: backward = `jax.vjp` of the XLA reference
+implementation (exact same math, recompute-style).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(qkv_ref, bias_ref, mask_ref, out_ref, *, heads, scale):
+    """qkv_ref: (1, T, ws, ws, 3C); bias/mask: (1, TN, TN);
+    out_ref: (1, T, ws, ws, C)."""
+    _, T, wsh, wsw, C3 = qkv_ref.shape
+    C = C3 // 3
+    hd = C // heads
+    TN = T * wsh * wsw
+
+    qkv = qkv_ref[0].reshape(TN, C3)
+    bias = bias_ref[0].astype(jnp.float32)
+    mask = mask_ref[0].astype(jnp.float32)
+
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+        k = qkv[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+        v = qkv[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        scores = scores + bias + mask
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        outs.append(o.astype(out_ref.dtype))
+    out = jnp.concatenate(outs, axis=-1)  # (TN, C)
+    out_ref[0] = out.reshape(T, wsh, wsw, C)
+
+
+def _pallas_call(qkv, bias_tiled, mask_tiled, heads, scale, ws,
+                 interpret=False):
+    B, T, H, W, C3 = qkv.shape
+    C = C3 // 3
+    nH, nW = H // ws, W // ws
+    TN = T * ws * ws
+    n_mask = mask_tiled.shape[0]
+
+    if n_mask == 1:
+        mask_map = lambda b, i, j: (0, 0, 0)
+    else:
+        mask_map = lambda b, i, j: (i * nW + j, 0, 0)
+
+    # per-head bias is tiled into one (1, TN, TN) block per head would need a
+    # heads grid dim; instead the full (heads, TN, TN) bias block is constant
+    # and the kernel indexes it — but to keep VMEM small we pass it fully.
+    return pl.pallas_call(
+        functools.partial(_kernel, heads=heads, scale=scale),
+        grid=(B, nH, nW),
+        in_specs=[
+            pl.BlockSpec((1, T, ws, ws, C3),
+                         lambda b, i, j: (b, 0, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, TN, TN), lambda b, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN, TN), mask_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, ws, ws, C),
+                               lambda b, i, j: (b, 0, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, W, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv, bias_tiled, mask_tiled)
+
+
+def _kernel_bias_full(qkv_ref, bias_ref, mask_ref, out_ref, *, heads, scale):
+    """Variant where bias_ref is (heads, TN, TN) resident across cells."""
+    _, T, wsh, wsw, C3 = qkv_ref.shape
+    C = C3 // 3
+    hd = C // heads
+    TN = T * wsh * wsw
+    qkv = qkv_ref[0].reshape(TN, C3)
+    mask = mask_ref[0].astype(jnp.float32)
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+        k = qkv[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+        v = qkv[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        scores = scores + bias_ref[h].astype(jnp.float32) + mask
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        outs.append(o.astype(out_ref.dtype))
+    out_ref[0] = jnp.concatenate(outs, axis=-1).reshape(T, wsh, wsw, C)
+
+
+def windowed_attention_image_ref(qkv, bias_tiled, mask_tiled, heads, scale,
+                                 ws):
+    """XLA reference with identical semantics (also the backward math)."""
+    B, T, H, W, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // heads
+    nH, nW = H // ws, W // ws
+    TN = T * ws * ws
+    # partition: (B, nH, nW, T, ws, ws, 3C) -> (B*nWin, T*N, 3C)
+    xw = qkv.reshape(B, T, nH, ws, nW, ws, C3)
+    xw = xw.transpose(0, 2, 4, 1, 3, 5, 6).reshape(B * nH * nW, TN, C3)
+    q = xw[..., :C].reshape(-1, TN, heads, hd).transpose(0, 2, 1, 3)
+    k = xw[..., C:2 * C].reshape(-1, TN, heads, hd).transpose(0, 2, 1, 3)
+    v = xw[..., 2 * C:].reshape(-1, TN, heads, hd).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    scores = scores + bias_tiled[None].astype(jnp.float32)
+    n_mask = mask_tiled.shape[0]
+    if n_mask == 1:
+        scores = scores + mask_tiled[0][None, None].astype(jnp.float32)
+    else:
+        m = mask_tiled.astype(jnp.float32)
+        scores = (scores.reshape(B, n_mask, heads, TN, TN)
+                  + m[None, :, None]).reshape(-1, heads, TN, TN)
+    p = jax.nn.softmax(scores, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(qkv.dtype)
+    o = o.transpose(0, 2, 1, 3).reshape(B, nH, nW, T, ws, ws, C)
+    o = o.transpose(0, 3, 1, 4, 2, 5, 6).reshape(B, T, H, W, C)
+    return o
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def windowed_attention_image(qkv, bias_tiled, mask_tiled, heads, scale, ws,
+                             interpret=False):
+    """Fused partition+attention+reverse on an image-layout qkv tensor.
+
+    Args:
+      qkv: (B, T, H, W, 3C), already cyclically shifted if SW-MSA. Feature
+        axis ordered [q | k | v], each C channels, heads-major within
+        (matching the reference qkv reshape semantics).
+      bias_tiled: (heads, TN, TN) relative-position bias (T x T tiled).
+      mask_tiled: (nWindows, TN, TN) SW-MSA mask or (1, TN, TN) zeros.
+      ws: window size.
+
+    Returns: (B, T, H, W, C) attention output in image layout.
+    """
+    B, T, H, W, C3 = qkv.shape
+    nH, nW = H // ws, W // ws
+    TN = T * ws * ws
+    n_mask = mask_tiled.shape[0]
+
+    mask_map = ((lambda b, i, j: (0, 0, 0)) if n_mask == 1
+                else (lambda b, i, j: (i * nW + j, 0, 0)))
+
+    return pl.pallas_call(
+        functools.partial(_kernel_bias_full, heads=heads, scale=scale),
+        grid=(B, nH, nW),
+        in_specs=[
+            pl.BlockSpec((1, T, ws, ws, C3),
+                         lambda b, i, j: (b, 0, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, TN, TN), lambda b, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN, TN), mask_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, ws, ws, C3 // 3),
+                               lambda b, i, j: (b, 0, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, W, C3 // 3), qkv.dtype),
+        interpret=interpret,
+    )(qkv, bias_tiled, mask_tiled)
+
+
+def _wai_fwd(qkv, bias_tiled, mask_tiled, heads, scale, ws, interpret):
+    out = windowed_attention_image(qkv, bias_tiled, mask_tiled, heads, scale,
+                                   ws, interpret)
+    return out, (qkv, bias_tiled, mask_tiled)
+
+
+def _wai_bwd(heads, scale, ws, interpret, res, g):
+    qkv, bias_tiled, mask_tiled = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: windowed_attention_image_ref(a, b, c, heads, scale, ws),
+        qkv, bias_tiled, mask_tiled)
+    return vjp(g)
+
+
+windowed_attention_image.defvjp(_wai_fwd, _wai_bwd)

@@ -78,7 +78,7 @@ def test_full_model_pallas_interpret_matches_einsum(rng):
         swin_mod.space_time_window_attention_fused
     try:
         m_p = SwinTemporalStack(dim=32, input_resolution=(16, 16),
-                                num_heads=4, attn_impl="pallas")
+                                num_heads=4, attn_impl="pallas_windows")
         s1_p, s2_p = m_p.apply(v, x)
     finally:
         swin_mod.space_time_window_attention_fused = saved

@@ -1,0 +1,116 @@
+"""Image-layout fused window attention: interpret-mode parity + grads."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stswincl_tpu.ops.window import (
+    relative_position_index, shifted_window_attention_mask)
+from stswincl_tpu.ops.pallas_block_attention import (
+    windowed_attention_image, windowed_attention_image_ref)
+
+
+def _case(rng, with_mask, B=2, T=2, H=8, W=12, C=32, heads=2, ws=4):
+    TN = T * ws * ws
+    N = ws * ws
+    qkv = jnp.asarray(
+        rng.standard_normal((B, T, H, W, 3 * C)).astype(np.float32))
+    table = rng.standard_normal(((2 * ws - 1) ** 2, heads)).astype(np.float32) * 0.02
+    idx = relative_position_index(ws, ws)
+    bias = table[idx.reshape(-1)].reshape(N, N, heads).transpose(2, 0, 1)
+    bias_tiled = jnp.asarray(np.tile(bias, (1, T, T)))
+    if with_mask:
+        m = shifted_window_attention_mask(H, W, ws, 2)
+        mask_tiled = jnp.asarray(np.tile(m, (1, T, T)))
+    else:
+        mask_tiled = jnp.zeros((1, TN, TN), jnp.float32)
+    scale = (C // heads) ** -0.5
+    return qkv, bias_tiled, mask_tiled, heads, scale, ws
+
+
+def test_kernel_matches_ref(rng):
+    for with_mask in (False, True):
+        qkv, bias, mask, heads, scale, ws = _case(rng, with_mask)
+        got = windowed_attention_image(qkv, bias, mask, heads, scale, ws,
+                                       True)
+        want = windowed_attention_image_ref(qkv, bias, mask, heads, scale, ws)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_ref_matches_einsum_block_path(rng):
+    """The XLA reference must equal the model's einsum partition path."""
+    from stswincl_tpu.ops.attention import space_time_window_attention
+
+    qkv, bias_tiled, mask_tiled, heads, scale, ws = _case(rng, True)
+    B, T, H, W, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // heads
+    nH, nW = H // ws, W // ws
+    TN = T * ws * ws
+    N = ws * ws
+    # einsum path as in models/swin.py
+    xw = qkv.reshape(B, T, nH, ws, nW, ws, C3)
+    xw = xw.transpose(0, 2, 4, 1, 3, 5, 6).reshape(B * nH * nW, TN, 3, heads, hd)
+    xw = xw.transpose(2, 0, 3, 1, 4)
+    q, k, v = xw[0], xw[1], xw[2]
+    rel_bias = np.asarray(bias_tiled)[:, :N, :N]  # untile
+    mask = np.asarray(mask_tiled)[:, :N, :N]
+    out = space_time_window_attention(q, k, v, jnp.asarray(rel_bias),
+                                      jnp.asarray(mask), scale)
+    out = out.transpose(0, 2, 1, 3).reshape(B, nH, nW, T, ws, ws, C)
+    out = out.transpose(0, 3, 1, 4, 2, 5, 6).reshape(B, T, H, W, C)
+
+    want = windowed_attention_image_ref(qkv, bias_tiled, mask_tiled, heads,
+                                        scale, ws)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_grads_match_ref(rng):
+    qkv, bias, mask, heads, scale, ws = _case(rng, True, B=1)
+
+    def loss_kernel(qkv, bias, mask):
+        return jnp.sum(windowed_attention_image(
+            qkv, bias, mask, heads, scale, ws, True) ** 2)
+
+    def loss_ref(qkv, bias, mask):
+        return jnp.sum(windowed_attention_image_ref(
+            qkv, bias, mask, heads, scale, ws) ** 2)
+
+    g0 = jax.grad(loss_kernel, argnums=(0, 1, 2))(qkv, bias, mask)
+    g1 = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, bias, mask)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_full_stack_pallas_matches_einsum_interpret(rng):
+    """SwinTemporalStack with attn_impl='pallas' (interpreted) == einsum."""
+    from stswincl_tpu.models import SwinTemporalStack
+    import stswincl_tpu.ops.pallas_block_attention as pba
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16, 32)).astype(np.float32))
+    m_e = SwinTemporalStack(dim=32, input_resolution=(16, 16), num_heads=4,
+                            attn_impl="einsum")
+    v = m_e.init(jax.random.key(0), x)
+    s1_e, s2_e = m_e.apply(v, x)
+
+    orig = pba.windowed_attention_image
+
+    def forced(qkv, bias, mask, heads, scale, ws, interpret=False):
+        return orig(qkv, bias, mask, heads, scale, ws, True)
+
+    import stswincl_tpu.models.swin  # noqa: F401  (module uses local import)
+    pba_backup = pba.windowed_attention_image
+    pba.windowed_attention_image = forced
+    try:
+        m_p = SwinTemporalStack(dim=32, input_resolution=(16, 16),
+                                num_heads=4, attn_impl="pallas")
+        s1_p, s2_p = m_p.apply(v, x)
+    finally:
+        pba.windowed_attention_image = pba_backup
+    np.testing.assert_allclose(np.asarray(s1_p), np.asarray(s1_e),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2_p), np.asarray(s2_e),
+                               rtol=1e-4, atol=1e-4)
