@@ -42,6 +42,8 @@ from stswincl_tpu.utils import MetricLogger, setup_logger
 def run_contrast_pretraining(cfg: ContrastTrainConfig):
     logger = setup_logger(cfg.log_dir)
     metrics_log = MetricLogger(cfg.log_dir)
+    from stswincl_tpu.pipelines.seg import _dump_config
+    _dump_config(cfg)
     mesh = make_mesh()
 
     class_num = (CADIS_CLASS_NUM[cfg.data.tag]

@@ -46,6 +46,18 @@ from stswincl_tpu.pipelines.evaluate import evaluate_split
 from stswincl_tpu.utils import MetricLogger, setup_logger
 
 
+def _dump_config(cfg):
+    """config.json dump at run start (`main_pretrain_swinv5.py:251-255`)."""
+    import os
+    from stswincl_tpu.configs import to_json
+    from stswincl_tpu.utils.logging import is_main_process
+
+    if is_main_process():
+        os.makedirs(cfg.log_dir, exist_ok=True)
+        with open(os.path.join(cfg.log_dir, "config.json"), "w") as f:
+            f.write(to_json(cfg))
+
+
 def _make_tx(cfg: SegTrainConfig, steps_per_epoch: int):
     if cfg.lr_scheduler == "constant":
         lr = cfg.lr
@@ -107,6 +119,7 @@ def _warm_start(cfg: SegTrainConfig, variables, logger):
 def run_seg_training(cfg: SegTrainConfig):
     logger = setup_logger(cfg.log_dir)
     metrics_log = MetricLogger(cfg.log_dir)
+    _dump_config(cfg)
     mesh = make_mesh()
     logger.info("devices: %s", jax.devices())
 

@@ -79,8 +79,8 @@ def make_seg_train_step(
     """Build the jitted train step: (state, images, labels) -> (state, metrics).
 
     images: (B, T, H, W, 3); labels: (B, H, W) int32. `ohem_n_min` defaults
-    to the reference's B*H*W/16 (`train_swin.py:123`, n_min computed on the
-    flattened batch).
+    to the reference's H*W/16 (`train_swin.py:123` — note: per-IMAGE pixel
+    count, even though the loss sorts over the flattened batch).
     """
 
     def loss_fn(params, batch_stats, images, labels):
@@ -90,8 +90,8 @@ def make_seg_train_step(
         )
         n_min = ohem_n_min
         if n_min is None:
-            b, h, w = labels.shape
-            n_min = b * h * w // 16
+            _, h, w = labels.shape
+            n_min = h * w // 16  # reference: per-image count (train_swin.py:123)
         if loss_type == "ohem":
             loss = ohem_cross_entropy(logits, labels, n_min, ohem_thresh,
                                       ignore_index)
