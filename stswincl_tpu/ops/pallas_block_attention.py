@@ -98,29 +98,43 @@ def _pallas_call(qkv, bias_tiled, mask_tiled, heads, scale, ws,
     )(qkv, bias_tiled, mask_tiled)
 
 
-def _kernel_bias_full(qkv_ref, bias_ref, mask_ref, out_ref, *, heads, scale):
-    """Variant where bias_ref is (heads, TN, TN) resident across cells."""
-    _, T, wsh, wsw, C3 = qkv_ref.shape
+def _row_kernel(qkv_ref, bias_ref, mask_ref, out_ref, *, heads, scale, ws,
+                single_mask):
+    """One grid cell = one ROW of windows (mosaic tiling requires the
+    block's last two dims %8/%128-aligned, which rules out bare (ws, ws)
+    tiles at ws=4 — and row cells amortize dispatch anyway).
+
+    qkv_ref: (1, T, ws, W, 3C); bias_ref: (heads, TN, TN);
+    mask_ref: (nW, TN, TN) masks of this row's windows (or (1,..) zeros);
+    out_ref: (1, T, ws, W, C).
+    """
+    _, T, _, Wd, C3 = qkv_ref.shape
     C = C3 // 3
     hd = C // heads
-    TN = T * wsh * wsw
-    qkv = qkv_ref[0].reshape(TN, C3)
-    mask = mask_ref[0].astype(jnp.float32)
-    outs = []
-    for h in range(heads):
-        q = qkv[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
-        k = qkv[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
-        v = qkv[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
-        scores = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        scores = scores + bias_ref[h].astype(jnp.float32) + mask
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        outs.append(o.astype(out_ref.dtype))
-    out_ref[0] = jnp.concatenate(outs, axis=-1).reshape(T, wsh, wsw, C)
+    nW = Wd // ws
+    TN = T * ws * ws
+
+    row = qkv_ref[0]  # (T, ws, W, 3C)
+    for j in range(nW):
+        win = row[:, :, j * ws:(j + 1) * ws, :].reshape(TN, C3)
+        mask = mask_ref[0 if single_mask else j].astype(jnp.float32)
+        outs = []
+        for h in range(heads):
+            q = win[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+            k = win[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+            v = win[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+            scores = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            scores = scores + bias_ref[h].astype(jnp.float32) + mask
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            outs.append(o.astype(out_ref.dtype))
+        out = jnp.concatenate(outs, axis=-1).reshape(T, ws, ws, C)
+        out_ref[0, :, :, j * ws:(j + 1) * ws, :] = out
 
 
 def windowed_attention_image_ref(qkv, bias_tiled, mask_tiled, heads, scale,
@@ -175,23 +189,30 @@ def windowed_attention_image(qkv, bias_tiled, mask_tiled, heads, scale, ws,
     nH, nW = H // ws, W // ws
     TN = T * ws * ws
     n_mask = mask_tiled.shape[0]
+    single_mask = n_mask == 1
 
-    mask_map = ((lambda b, i, j: (0, 0, 0)) if n_mask == 1
-                else (lambda b, i, j: (i * nW + j, 0, 0)))
+    if single_mask:
+        mask_spec = pl.BlockSpec((1, TN, TN), lambda b, i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        # one block = the nW masks of row i
+        mask_spec = pl.BlockSpec((nW, TN, TN), lambda b, i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(_kernel_bias_full, heads=heads, scale=scale),
-        grid=(B, nH, nW),
+        functools.partial(_row_kernel, heads=heads, scale=scale, ws=ws,
+                          single_mask=single_mask),
+        grid=(B, nH),
         in_specs=[
-            pl.BlockSpec((1, T, ws, ws, C3),
-                         lambda b, i, j: (b, 0, i, j, 0),
+            pl.BlockSpec((1, T, ws, W, C3),
+                         lambda b, i: (b, 0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, TN, TN), lambda b, i, j: (0, 0, 0),
+            pl.BlockSpec((heads, TN, TN), lambda b, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN, TN), mask_map, memory_space=pltpu.VMEM),
+            mask_spec,
         ],
-        out_specs=pl.BlockSpec((1, T, ws, ws, C3 // 3),
-                               lambda b, i, j: (b, 0, i, j, 0),
+        out_specs=pl.BlockSpec((1, T, ws, W, C3 // 3),
+                               lambda b, i: (b, 0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, H, W, C3 // 3), qkv.dtype),
         interpret=interpret,
