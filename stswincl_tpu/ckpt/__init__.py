@@ -1,6 +1,7 @@
 from stswincl_tpu.ckpt.torch_import import (
     import_tswinplus_state_dict,
     import_pixpro_state_dict,
+    import_torchvision_resnet18,
 )
 from stswincl_tpu.ckpt.checkpoint import (
     save_checkpoint,

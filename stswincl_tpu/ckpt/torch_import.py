@@ -275,6 +275,41 @@ def _import_projector(key: str, value, params, stats) -> bool:
     return True
 
 
+def import_torchvision_resnet18(
+    state_dict: Mapping[str, np.ndarray],
+) -> Tuple[dict, dict, list]:
+    """Import a raw torchvision resnet18 ImageNet state_dict into the
+    backbone's stem/layer1/layer2 subtrees (the portion the reference
+    initializes from ImageNet, `seg18/net/Ours/resnet.py:98-102`; the
+    dilated layer4/layer5 stay at fresh init).
+
+    Returns (params, batch_stats, unmatched) shaped as the `resnet` subtree.
+    """
+    # translate torchvision naming into the reference's nested-Sequential
+    # naming, then reuse the standard importer path
+    remapped = {}
+    unmatched = []
+    for key, value in state_dict.items():
+        if key.startswith("conv1."):
+            remapped["resnet.resnet.0." + key[len("conv1."):]] = value
+        elif key.startswith("bn1."):
+            remapped["resnet.resnet.1." + key[len("bn1."):]] = value
+        elif key.startswith("layer1."):
+            remapped["resnet.resnet.4." + key[len("layer1."):]] = value
+        elif key.startswith("layer2."):
+            remapped["resnet.resnet.5." + key[len("layer2."):]] = value
+        elif key.startswith(("layer3.", "layer4.", "fc.")):
+            continue  # not used by the OS8 backbone
+        else:
+            unmatched.append(key)
+    params: dict = {}
+    stats: dict = {}
+    for key, value in remapped.items():
+        if not _import_resnet(key, np.asarray(value), params, stats):
+            unmatched.append(key)
+    return params.get("resnet", {}), stats.get("resnet", {}), unmatched
+
+
 def import_tswinplus_state_dict(
     state_dict: Mapping[str, np.ndarray],
 ) -> Tuple[dict, dict, list]:

@@ -66,6 +66,7 @@ class SegTrainConfig:
     init_checkpoint: Optional[str] = None        # warm start (resnet-only load)
     pretrain_checkpoint: Optional[str] = None    # stage-2 ckpt for stage 3
     torch_checkpoint: Optional[str] = None       # reference .pth/.t7 import
+    imagenet_checkpoint: Optional[str] = None    # torchvision resnet18 .pth
     resume: bool = False
     eval_hw: Tuple[int, int] = (1024, 1280)
 

