@@ -67,6 +67,23 @@ class Mlp(nn.Module):
         return x
 
 
+class _LinearParams(nn.Module):
+    """Declares nn.Dense-compatible params (kernel, bias) without computing —
+    used when a fused kernel consumes the weights directly while keeping the
+    variable tree identical to the Dense-based paths."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_dense_kernel_init,
+                            (self.in_features, self.out_features), jnp.float32)
+        bias = self.param("bias", torch_bias_init(self.in_features),
+                          (self.out_features,), jnp.float32)
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
     """QKV + relative-position-bias window attention on an image-layout
     clip (B, T, H, W, C) -> (B, T, H, W, C); input is already cyclically
@@ -114,12 +131,6 @@ class WindowAttention(nn.Module):
         rel_bias = bias_table[rel_idx.reshape(-1)].reshape(N, N, heads)
         rel_bias = rel_bias.transpose(2, 0, 1)  # (heads, N, N)
 
-        # pointwise qkv on the image layout (commutes with partitioning)
-        qkv = nn.Dense(3 * self.dim, use_bias=True,
-                       kernel_init=torch_dense_kernel_init,
-                       bias_init=torch_bias_init(C),
-                       dtype=self.dtype, name="qkv")(x)
-
         impl = self.attn_impl
         if impl == "auto":
             # measured on v5e (tools/profile_swin_pallas.py): the image-
@@ -127,6 +138,28 @@ class WindowAttention(nn.Module):
             # for the full stack; einsum remains the off-TPU fallback.
             from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
             impl = "pallas" if _is_tpu_backend() else "einsum"
+
+        if impl == "pallas_full":
+            # whole sub-block (qkv -> attention -> proj) in one kernel with
+            # VMEM-resident weights; same variable tree as the Dense paths
+            from stswincl_tpu.ops.pallas_block_attention import (
+                fused_swin_block_attention)
+            wqkv, bqkv = _LinearParams(C, 3 * self.dim, name="qkv")()
+            wproj, bproj = _LinearParams(self.dim, self.dim, name="proj")()
+            bias_tiled = jnp.tile(rel_bias.astype(jnp.float32), (1, T, T))
+            if mask is None:
+                mask_tiled = jnp.zeros((1, TN, TN), jnp.float32)
+            else:
+                mask_tiled = jnp.tile(mask.astype(jnp.float32), (1, T, T))
+            return fused_swin_block_attention(
+                x.astype(self.dtype), wqkv, bqkv, wproj, bproj,
+                bias_tiled, mask_tiled, heads, scale, ws)
+
+        # pointwise qkv on the image layout (commutes with partitioning)
+        qkv = nn.Dense(3 * self.dim, use_bias=True,
+                       kernel_init=torch_dense_kernel_init,
+                       bias_init=torch_bias_init(C),
+                       dtype=self.dtype, name="qkv")(x)
 
         if impl == "pallas":
             from stswincl_tpu.ops.pallas_block_attention import (

@@ -219,6 +219,133 @@ def windowed_attention_image(qkv, bias_tiled, mask_tiled, heads, scale, ws,
     )(qkv, bias_tiled, mask_tiled)
 
 
+def _full_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+                 mask_ref, out_ref, *, heads, scale, ws, single_mask):
+    """Fully fused swin attention for one row of windows: qkv projection,
+    per-window per-head attention, and output projection — weights stay
+    VMEM-resident across cells (constant index maps).
+
+    x_ref: (1, T, ws, W, C); wqkv: (C, 3C); wproj: (C, C); biases (1, *);
+    bias_ref: (heads, TN, TN); mask_ref: (nW|1, TN, TN);
+    out_ref: (1, T, ws, W, C).
+    """
+    _, T, _, Wd, C = x_ref.shape
+    hd = C // heads
+    nW = Wd // ws
+    TN = T * ws * ws
+    rows = T * ws * Wd
+
+    x = x_ref[0].reshape(rows, C)
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+    qkv = qkv.reshape(T, ws, Wd, 3 * C)
+
+    win_outs = []
+    for j in range(nW):
+        win = qkv[:, :, j * ws:(j + 1) * ws, :].reshape(TN, 3 * C)
+        mask = mask_ref[0 if single_mask else j].astype(jnp.float32)
+        outs = []
+        for h in range(heads):
+            q = win[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+            k = win[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+            v = win[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+            scores = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            scores = scores + bias_ref[h].astype(jnp.float32) + mask
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            outs.append(o.astype(x.dtype))
+        win_outs.append(
+            jnp.concatenate(outs, axis=-1).reshape(T, ws, ws, C))
+    attn_row = jnp.concatenate(win_outs, axis=2)  # (T, ws, W, C)
+
+    flat = attn_row.reshape(rows, C)
+    out = jnp.dot(flat, wproj_ref[:], preferred_element_type=jnp.float32)
+    out = out + bproj_ref[0].astype(jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype).reshape(T, ws, Wd, C)
+
+
+def fused_swin_block_attention_ref(x, wqkv, bqkv, wproj, bproj, bias_tiled,
+                                   mask_tiled, heads, scale, ws):
+    """XLA reference (and backward math) for the fully fused kernel."""
+    qkv = (jnp.einsum("bthwc,cd->bthwd", x, wqkv.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+           + bqkv.astype(jnp.float32)).astype(x.dtype)
+    attn = windowed_attention_image_ref(qkv, bias_tiled, mask_tiled, heads,
+                                        scale, ws)
+    out = (jnp.einsum("bthwc,cd->bthwd", attn, wproj.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+           + bproj.astype(jnp.float32)).astype(x.dtype)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
+                               mask_tiled, heads, scale, ws, interpret=False):
+    """Whole shifted-window attention sub-block (qkv -> windowed attention
+    -> proj) as one Pallas kernel. x: (B, T, H, W, C), already shifted."""
+    B, T, H, W, C = x.shape
+    nH, nW = H // ws, W // ws
+    TN = T * ws * ws
+    n_mask = mask_tiled.shape[0]
+    single_mask = n_mask == 1
+
+    if single_mask:
+        mask_spec = pl.BlockSpec((1, TN, TN), lambda b, i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((nW, TN, TN), lambda b, i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    const = lambda b, i: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_full_kernel, heads=heads, scale=scale, ws=ws,
+                          single_mask=single_mask),
+        grid=(B, nH),
+        in_specs=[
+            pl.BlockSpec((1, T, ws, W, C), lambda b, i: (b, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, TN, TN), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            mask_spec,
+        ],
+        out_specs=pl.BlockSpec((1, T, ws, W, C),
+                               lambda b, i: (b, 0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, wqkv.astype(x.dtype), bqkv[None].astype(jnp.float32),
+      wproj.astype(x.dtype), bproj[None].astype(jnp.float32),
+      bias_tiled, mask_tiled)
+
+
+def _fsba_fwd(x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled,
+              heads, scale, ws, interpret):
+    out = fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
+                                     mask_tiled, heads, scale, ws, interpret)
+    return out, (x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled)
+
+
+def _fsba_bwd(heads, scale, ws, interpret, res, g):
+    x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e, f, m: fused_swin_block_attention_ref(
+            a, b, c, d, e, f, m, heads, scale, ws),
+        x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled)
+    return vjp(g)
+
+
+fused_swin_block_attention.defvjp(_fsba_fwd, _fsba_bwd)
+
+
 def _wai_fwd(qkv, bias_tiled, mask_tiled, heads, scale, ws, interpret):
     out = windowed_attention_image(qkv, bias_tiled, mask_tiled, heads, scale,
                                    ws, interpret)

@@ -114,3 +114,73 @@ def test_full_stack_pallas_matches_einsum_interpret(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s2_p), np.asarray(s2_e),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_full_fused_matches_ref(rng):
+    from stswincl_tpu.ops.pallas_block_attention import (
+        fused_swin_block_attention, fused_swin_block_attention_ref)
+
+    B, T, H, W, C, heads, ws = 1, 2, 8, 12, 32, 2, 4
+    TN = T * ws * ws
+    N = ws * ws
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((C, 3 * C)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.standard_normal(3 * C).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.standard_normal((C, C)).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+    table = rng.standard_normal(((2 * ws - 1) ** 2, heads)).astype(np.float32) * 0.02
+    idx = relative_position_index(ws, ws)
+    bias = table[idx.reshape(-1)].reshape(N, N, heads).transpose(2, 0, 1)
+    bias_tiled = jnp.asarray(np.tile(bias, (1, T, T)))
+    m = shifted_window_attention_mask(H, W, ws, 2)
+    mask_tiled = jnp.asarray(np.tile(m, (1, T, T)))
+    scale = (C // heads) ** -0.5
+
+    got = fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
+                                     mask_tiled, heads, scale, ws, True)
+    want = fused_swin_block_attention_ref(x, wqkv, bqkv, wproj, bproj,
+                                          bias_tiled, mask_tiled, heads,
+                                          scale, ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    # grads through the custom vjp
+    def loss_k(x, wq, bq, wp, bp):
+        return jnp.sum(fused_swin_block_attention(
+            x, wq, bq, wp, bp, bias_tiled, mask_tiled, heads, scale, ws,
+            True) ** 2)
+
+    def loss_r(x, wq, bq, wp, bp):
+        return jnp.sum(fused_swin_block_attention_ref(
+            x, wq, bq, wp, bp, bias_tiled, mask_tiled, heads, scale, ws) ** 2)
+
+    g0 = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(x, wqkv, bqkv, wproj, bproj)
+    g1 = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x, wqkv, bqkv, wproj, bproj)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_full_stack_pallas_full_interpret_matches_einsum(rng):
+    from stswincl_tpu.models import SwinTemporalStack
+    import stswincl_tpu.ops.pallas_block_attention as pba
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16, 32)).astype(np.float32))
+    m_e = SwinTemporalStack(dim=32, input_resolution=(16, 16), num_heads=4,
+                            attn_impl="einsum")
+    v = m_e.init(jax.random.key(0), x)
+    s1_e, s2_e = m_e.apply(v, x)
+
+    orig = pba.fused_swin_block_attention
+    forced = (lambda *a, **kw: orig(*a[:10], True))
+    pba.fused_swin_block_attention, saved = forced, pba.fused_swin_block_attention
+    try:
+        m_p = SwinTemporalStack(dim=32, input_resolution=(16, 16),
+                                num_heads=4, attn_impl="pallas_full")
+        s1_p, s2_p = m_p.apply(v, x)
+    finally:
+        pba.fused_swin_block_attention = saved
+    np.testing.assert_allclose(np.asarray(s1_p), np.asarray(s1_e),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2_p), np.asarray(s2_e),
+                               rtol=1e-4, atol=1e-4)
