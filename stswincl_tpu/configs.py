@@ -40,7 +40,8 @@ class ModelConfig:
     num_classes: int = 12
     swin_dim: int = 512
     num_heads: int = 4
-    attn_impl: str = "auto"              # auto | einsum | pallas
+    attn_impl: str = "auto"              # auto|einsum|pallas|pallas_full
+    gelu_exact: bool = True              # erf (torch parity) vs tanh approx
     remat: bool = False                  # checkpoint swin blocks (memory)
     dtype: str = "bfloat16"              # compute dtype; params stay fp32
 

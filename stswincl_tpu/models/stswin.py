@@ -86,6 +86,7 @@ class TswinPlus(nn.Module):
     swin_dim: int = 512
     num_heads: int = 4
     attn_impl: str = "auto"
+    gelu_exact: bool = True
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -104,7 +105,8 @@ class TswinPlus(nn.Module):
         stage1, stage2 = SwinTemporalStack(
             dim=self.swin_dim, input_resolution=(h8, w8),
             num_heads=self.num_heads, attn_impl=self.attn_impl,
-            remat=self.remat, dtype=self.dtype, name="swin",
+            gelu_exact=self.gelu_exact, remat=self.remat,
+            dtype=self.dtype, name="swin",
         )(feats)
         s1_last = stage1[:, -1]           # (B, h8, w8, 512)
         s2_last = stage2[:, -1]           # (B, h8/2, w8/2, 1024)

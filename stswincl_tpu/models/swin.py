@@ -48,11 +48,17 @@ Dtype = Any
 
 
 class Mlp(nn.Module):
-    """fc -> GELU(exact) -> fc  (`swin_512.py:7-23`; drop rates are 0 in all
-    shipped configs so dropout is omitted)."""
+    """fc -> GELU -> fc  (`swin_512.py:7-23`; drop rates are 0 in all
+    shipped configs so dropout is omitted).
+
+    `gelu_exact=True` matches torch nn.GELU (erf); False uses the tanh
+    approximation — measurably cheaper on the VPU (exact erf accounts for a
+    chunk of the elementwise time in the device trace) at ~1e-3 activation
+    deviation; a serving-mode option, off by default for parity."""
 
     hidden: int
     out: int
+    gelu_exact: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -60,7 +66,7 @@ class Mlp(nn.Module):
         x = nn.Dense(self.hidden, kernel_init=torch_dense_kernel_init,
                      bias_init=torch_bias_init(x.shape[-1]),
                      dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
+        x = nn.gelu(x, approximate=not self.gelu_exact)
         x = nn.Dense(self.out, kernel_init=torch_dense_kernel_init,
                      bias_init=torch_bias_init(x.shape[-1]),
                      dtype=self.dtype, name="fc2")(x)
@@ -98,8 +104,10 @@ class WindowAttention(nn.Module):
         in image layout (reverse for free);
       * 'pallas_windows' — the earlier per-window-tile kernel (kept for
         comparison);
-      * 'auto' — the image-layout kernel on TPU (measured 15.0 vs 17.8 ms
-        for the full stack), einsum elsewhere.
+      * 'pallas_full' — the whole sub-block (qkv -> attention -> proj) in
+        one kernel with VMEM-resident weights;
+      * 'auto' — pallas_full on TPU (14.5 vs 15.0 vs 17.7 ms full-stack
+        measurements), einsum elsewhere.
     """
 
     dim: int
@@ -133,11 +141,11 @@ class WindowAttention(nn.Module):
 
         impl = self.attn_impl
         if impl == "auto":
-            # measured on v5e (tools/profile_swin_pallas.py): the image-
-            # layout row-block kernel beats the einsum path 15.0 vs 17.8 ms
-            # for the full stack; einsum remains the off-TPU fallback.
+            # measured on v5e (tools/profile_swin_pallas.py), full stack:
+            # pallas_full 14.5 ms < pallas 15.0 < einsum 17.7; einsum is the
+            # off-TPU fallback.
             from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
-            impl = "pallas" if _is_tpu_backend() else "einsum"
+            impl = "pallas_full" if _is_tpu_backend() else "einsum"
 
         if impl == "pallas_full":
             # whole sub-block (qkv -> attention -> proj) in one kernel with
@@ -209,6 +217,7 @@ class SpaceTimeSwinBlock(nn.Module):
     shift_size: int = 0
     mlp_ratio: float = 4.0
     attn_impl: str = "auto"
+    gelu_exact: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -251,7 +260,9 @@ class SpaceTimeSwinBlock(nn.Module):
         # standalone pallas LN kernel here (17.35 vs 18.15 ms stack time) —
         # the fused kernel fragments XLA's surrounding fusions.
         mlp_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(mlp_in)
+        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                      gelu_exact=self.gelu_exact, dtype=self.dtype,
+                      name="mlp")(mlp_in)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + mlp_out)
         return x
 
@@ -324,6 +335,7 @@ class SwinTemporalStack(nn.Module):
     input_resolution: Tuple[int, int] = (64, 80)
     num_heads: int = 4
     attn_impl: str = "auto"
+    gelu_exact: bool = True
     remat: bool = False  # rematerialize each block in the backward pass
     dtype: Dtype = jnp.float32
 
@@ -346,11 +358,13 @@ class SwinTemporalStack(nn.Module):
             return (
                 block_cls(
                     self.dim, (H, W), self.num_heads, window_size=8,
-                    shift_size=0, attn_impl=self.attn_impl, dtype=self.dtype,
+                    shift_size=0, attn_impl=self.attn_impl,
+                    gelu_exact=self.gelu_exact, dtype=self.dtype,
                     name=f"layers_{i}_w"),
                 block_cls(
                     self.dim, (H, W), self.num_heads, window_size=8,
-                    shift_size=4, attn_impl=self.attn_impl, dtype=self.dtype,
+                    shift_size=4, attn_impl=self.attn_impl,
+                    gelu_exact=self.gelu_exact, dtype=self.dtype,
                     name=f"layers_{i}_sw"),
             )
 
@@ -358,11 +372,13 @@ class SwinTemporalStack(nn.Module):
             return (
                 block_cls(
                     self.dim * 2, res2, self.num_heads, window_size=4,
-                    shift_size=0, attn_impl=self.attn_impl, dtype=self.dtype,
+                    shift_size=0, attn_impl=self.attn_impl,
+                    gelu_exact=self.gelu_exact, dtype=self.dtype,
                     name=f"layers_{i}_w"),
                 block_cls(
                     self.dim * 2, res2, self.num_heads, window_size=4,
-                    shift_size=2, attn_impl=self.attn_impl, dtype=self.dtype,
+                    shift_size=2, attn_impl=self.attn_impl,
+                    gelu_exact=self.gelu_exact, dtype=self.dtype,
                     name=f"layers_{i}_sw"),
             )
 

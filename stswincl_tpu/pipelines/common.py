@@ -35,7 +35,8 @@ def build_model(model_cfg: ModelConfig, data_cfg: DataConfig):
         return DeepLabV3Plus(num_classes=num_classes, dtype=dtype), num_classes
     return TswinPlus(num_classes=num_classes, swin_dim=model_cfg.swin_dim,
                      num_heads=model_cfg.num_heads,
-                     attn_impl=model_cfg.attn_impl, remat=model_cfg.remat,
+                     attn_impl=model_cfg.attn_impl,
+                     gelu_exact=model_cfg.gelu_exact, remat=model_cfg.remat,
                      dtype=dtype), num_classes
 
 

@@ -25,7 +25,7 @@ def chain(fn, *args):
 from stswincl_tpu.models.swin import SwinTemporalStack
 rng = np.random.default_rng(0)
 feats = jnp.asarray(rng.random((1, 4, 64, 80, 512), dtype=np.float32))
-for impl in ("pallas", "einsum"):
+for impl in ("pallas_full", "pallas", "einsum"):
     sw = SwinTemporalStack(dim=512, input_resolution=(64, 80), num_heads=4,
                            attn_impl=impl, dtype=jnp.bfloat16)
     sw_vars = sw.init(jax.random.key(0), feats)
