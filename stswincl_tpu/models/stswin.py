@@ -123,13 +123,23 @@ class TswinPlus(nn.Module):
         return jnp.concatenate([p1, p2, p3, aspp_up], axis=-1)  # (B,h8,w8,400)
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_features: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False,
+                 channels_first_logits: bool = False):
         B, T, H, W, _ = x.shape
         features = self.trunk(x, train)
         if return_features:
             return features
         logits = Classifier(self.num_classes, dtype=self.dtype, name="classifier")(
             features, train)
+        if channels_first_logits:
+            # training-loss layout: keep the (small) class axis OUT of the
+            # lane dimension — NHWC fp32 logits at full resolution pad
+            # num_classes -> 128 lanes (measured 10.7x HBM expansion);
+            # transposing at feature resolution first is nearly free.
+            import jax
+            lcf = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
+            return jax.image.resize(lcf, (B, lcf.shape[1], H, W),
+                                    method="bilinear", antialias=False)
         logits = resize_bilinear(logits.astype(jnp.float32), H, W)
         return logits
 

@@ -55,6 +55,11 @@ def ohem_cross_entropy(
     )[:, 0]
     loss = jnp.where(valid, -logp, 0.0)
 
+    return _ohem_select(loss, n_min, thresh)
+
+
+def _ohem_select(loss: jnp.ndarray, n_min: int, thresh: float) -> jnp.ndarray:
+    """The OHEM branch selection over a flat per-pixel loss vector."""
     loss_thresh = math.log(1.0 / thresh)  # -log(thresh)
     sorted_desc = -jnp.sort(-loss)
 
@@ -65,3 +70,38 @@ def ohem_cross_entropy(
 
     use_thresh = sorted_desc[n_min] > loss_thresh
     return jnp.where(use_thresh, mean_hard, mean_topk)
+
+
+def ohem_cross_entropy_channels_first(
+    logits_cf: jnp.ndarray,
+    labels: jnp.ndarray,
+    n_min: int,
+    thresh: float = 0.7,
+    ignore_index: int = -1,
+) -> jnp.ndarray:
+    """OHEM CE on (B, C, H, W) logits — the TPU-friendly layout.
+
+    With NHWC logits the class axis sits in the lane dimension: any
+    materialized fp32 (..., num_classes) tensor pads num_classes -> 128
+    lanes (a measured 10.7x HBM expansion at 12 classes, the #1 allocation
+    in the training-step memory profile). Channels-first keeps W in the
+    lanes; the CE is computed via logsumexp/gather reductions over axis 1
+    so no (..., C)-minor intermediate ever exists.
+    """
+    loss = per_pixel_ce_channels_first(logits_cf, labels, ignore_index)
+    return _ohem_select(loss.reshape(-1), n_min, thresh)
+
+
+def per_pixel_ce_channels_first(
+    logits_cf: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = -1
+) -> jnp.ndarray:
+    """Per-pixel CE map from (B, C, H, W) logits via reductions over axis 1
+    (no (..., C)-minor intermediates); ignored pixels contribute 0."""
+    lf = logits_cf.astype(jnp.float32)
+    m = jnp.max(lf, axis=1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(lf - m[:, None]), axis=1))
+
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    picked = jnp.take_along_axis(lf, safe[:, None], axis=1)[:, 0]
+    return jnp.where(valid, lse - picked, 0.0)

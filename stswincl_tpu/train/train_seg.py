@@ -21,7 +21,11 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from stswincl_tpu.ops.ohem import ohem_cross_entropy
+from stswincl_tpu.ops.ohem import (
+    ohem_cross_entropy,
+    ohem_cross_entropy_channels_first,
+    per_pixel_ce_channels_first,
+)
 from stswincl_tpu.ops.resize import resize_bilinear_align_corners
 
 
@@ -83,28 +87,41 @@ def make_seg_train_step(
     count, even though the loss sorts over the flattened batch).
     """
 
+    # the OHEM/CE paths consume channels-first logits so the (small) class
+    # axis never lands in the TPU lane dimension (HBM-padding blowup
+    # otherwise — see ohem_cross_entropy_channels_first)
+    cf = loss_type in ("ohem", "ce") and hasattr(model, "trunk")
+
     def loss_fn(params, batch_stats, images, labels):
+        kwargs = {"channels_first_logits": True} if cf else {}
         logits, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            images, train=True, mutable=["batch_stats"],
+            images, train=True, mutable=["batch_stats"], **kwargs,
         )
         n_min = ohem_n_min
         if n_min is None:
             _, h, w = labels.shape
             n_min = h * w // 16  # reference: per-image count (train_swin.py:123)
         if loss_type == "ohem":
-            loss = ohem_cross_entropy(logits, labels, n_min, ohem_thresh,
-                                      ignore_index)
+            if cf:
+                loss = ohem_cross_entropy_channels_first(
+                    logits, labels, n_min, ohem_thresh, ignore_index)
+            else:
+                loss = ohem_cross_entropy(logits, labels, n_min, ohem_thresh,
+                                          ignore_index)
         elif loss_type == "dice":
             loss = dice_loss(logits, labels, logits.shape[-1])
         elif loss_type == "bce":
             loss = bce_loss(logits, labels, logits.shape[-1], ignore_index)
         else:  # plain CE
             valid = labels != ignore_index
-            ce = optax.softmax_cross_entropy_with_integer_labels(
-                logits.astype(jnp.float32),
-                jnp.where(valid, labels, 0))
-            loss = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+            if cf:
+                ce = per_pixel_ce_channels_first(logits, labels, ignore_index)
+            else:
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32),
+                    jnp.where(valid, labels, 0)) * valid
+            loss = jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1)
         return loss, updates["batch_stats"]
 
     @jax.jit

@@ -62,3 +62,30 @@ def test_ohem_jit_static(rng):
     labels = jnp.asarray(rng.integers(0, 12, size=(2, 16, 20)).astype(np.int32))
     v = f(logits, labels)
     assert np.isfinite(float(v))
+
+
+def test_ohem_channels_first_matches_nhwc(rng):
+    from stswincl_tpu.ops.ohem import ohem_cross_entropy_channels_first
+
+    B, C, H, W = 2, 12, 16, 20
+    logits = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    labels = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+    labels[rng.random((B, H, W)) < 0.2] = -1
+    a = ohem_cross_entropy(jnp.asarray(logits), jnp.asarray(labels), 40)
+    b = ohem_cross_entropy_channels_first(
+        jnp.asarray(logits.transpose(0, 3, 1, 2)), jnp.asarray(labels), 40)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_per_pixel_ce_cf(rng):
+    from stswincl_tpu.ops.ohem import per_pixel_ce_channels_first
+    import torch
+    import torch.nn.functional as F
+
+    B, C, H, W = 2, 5, 8, 8
+    logits = rng.standard_normal((B, C, H, W)).astype(np.float32)
+    labels = rng.integers(0, C, size=(B, H, W)).astype(np.int64)
+    got = per_pixel_ce_channels_first(jnp.asarray(logits), jnp.asarray(labels))
+    want = F.cross_entropy(torch.from_numpy(logits), torch.from_numpy(labels),
+                           reduction="none").numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
