@@ -6,12 +6,23 @@ from stswincl_tpu.ops.window import (
     shifted_window_attention_mask,
 )
 from stswincl_tpu.ops.attention import space_time_window_attention
+from stswincl_tpu.ops.pallas_attention import space_time_window_attention_fused
+from stswincl_tpu.ops.pallas_block_attention import (
+    windowed_attention_image,
+    fused_swin_block_attention,
+)
+from stswincl_tpu.ops.pallas_layernorm import fused_layer_norm, FusedLayerNorm
 from stswincl_tpu.ops.resize import (
     resize_bilinear,
     resize_nearest,
+    resize_bilinear_align_corners,
     upsample_bilinear_align_false,
 )
-from stswincl_tpu.ops.ohem import ohem_cross_entropy
+from stswincl_tpu.ops.ohem import (
+    ohem_cross_entropy,
+    ohem_cross_entropy_channels_first,
+    per_pixel_ce_channels_first,
+)
 from stswincl_tpu.ops.contrastive import (
     class_sum_contrastive_loss,
     pixel_pair_stats,
