@@ -146,6 +146,17 @@ class WindowAttention(nn.Module):
             # off-TPU fallback.
             from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
             impl = "pallas_full" if _is_tpu_backend() else "einsum"
+        if impl == "pallas_full":
+            # the resident qkv+proj weights must fit VMEM alongside the row
+            # tiles: at C=1024 in fp32 they alone are 16 MB (measured
+            # compile-time VMEM OOM) — fall back to the weights-in-HBM
+            # image kernel for large-C fp32 configs.
+            itemsize = jnp.dtype(self.dtype).itemsize
+            weights_bytes = (C * 3 * self.dim + self.dim * self.dim) * itemsize
+            # 10MB: bf16 stage-2 (8.4MB resident) fits and measured fastest;
+            # fp32 stage-2 (16.8MB) cannot fit a 16MB VMEM
+            if weights_bytes > 10 * 1024 * 1024:
+                impl = "pallas"
 
         if impl == "pallas_full":
             # whole sub-block (qkv -> attention -> proj) in one kernel with

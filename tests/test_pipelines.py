@@ -67,3 +67,27 @@ def test_contrast_training_e2e(tmp_path):
     assert int(state.step) > 0
     from stswincl_tpu.ckpt import latest_step
     assert latest_step(cfg.ckpt_dir) is not None
+
+
+@pytest.mark.slow
+def test_cli_test_command_e2e(tmp_path):
+    """Train briefly, then exercise the `test` CLI path end-to-end."""
+    cfg = SegTrainConfig(
+        data=DataConfig(dataset="synthetic", t=4, crop_hw=(64, 128),
+                        num_classes=5, batch_size=8, num_workers=2),
+        model=ModelConfig(num_classes=5, swin_dim=64, dtype="float32"),
+        lr=1e-3,
+        num_epochs=1,
+        eval_every=1,
+        eval_hw=(64, 128),
+        ckpt_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+    )
+    from stswincl_tpu.pipelines.seg import run_seg_training
+    from stswincl_tpu.pipelines.evaluate import run_test
+
+    run_seg_training(cfg)
+    cfg.init_checkpoint = cfg.ckpt_dir
+    summary = run_test(cfg)
+    assert summary["frames"] > 0
+    assert 0.0 <= summary["iou"] <= 1.0
