@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
-import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -42,7 +41,6 @@ from stswincl_tpu.ops.window import (
 from stswincl_tpu.ops.attention import space_time_window_attention
 from stswincl_tpu.ops.pallas_attention import space_time_window_attention_fused
 from stswincl_tpu.models.init import torch_dense_kernel_init, torch_bias_init
-from stswincl_tpu.ops.pallas_layernorm import FusedLayerNorm
 
 Dtype = Any
 

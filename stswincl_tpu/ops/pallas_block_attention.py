@@ -33,71 +33,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(qkv_ref, bias_ref, mask_ref, out_ref, *, heads, scale):
-    """qkv_ref: (1, T, ws, ws, 3C); bias/mask: (1, TN, TN);
-    out_ref: (1, T, ws, ws, C)."""
-    _, T, wsh, wsw, C3 = qkv_ref.shape
-    C = C3 // 3
-    hd = C // heads
-    TN = T * wsh * wsw
-
-    qkv = qkv_ref[0].reshape(TN, C3)
-    bias = bias_ref[0].astype(jnp.float32)
-    mask = mask_ref[0].astype(jnp.float32)
-
-    outs = []
-    for h in range(heads):
-        q = qkv[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
-        k = qkv[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
-        v = qkv[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
-        scores = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        scores = scores + bias + mask
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        outs.append(o.astype(out_ref.dtype))
-    out = jnp.concatenate(outs, axis=-1)  # (TN, C)
-    out_ref[0] = out.reshape(T, wsh, wsw, C)
-
-
-def _pallas_call(qkv, bias_tiled, mask_tiled, heads, scale, ws,
-                 interpret=False):
-    B, T, H, W, C3 = qkv.shape
-    C = C3 // 3
-    nH, nW = H // ws, W // ws
-    TN = T * ws * ws
-    n_mask = mask_tiled.shape[0]
-
-    if n_mask == 1:
-        mask_map = lambda b, i, j: (0, 0, 0)
-    else:
-        mask_map = lambda b, i, j: (i * nW + j, 0, 0)
-
-    # per-head bias is tiled into one (1, TN, TN) block per head would need a
-    # heads grid dim; instead the full (heads, TN, TN) bias block is constant
-    # and the kernel indexes it — but to keep VMEM small we pass it fully.
-    return pl.pallas_call(
-        functools.partial(_kernel, heads=heads, scale=scale),
-        grid=(B, nH, nW),
-        in_specs=[
-            pl.BlockSpec((1, T, ws, ws, C3),
-                         lambda b, i, j: (b, 0, i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, TN, TN), lambda b, i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN, TN), mask_map, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, T, ws, ws, C),
-                               lambda b, i, j: (b, 0, i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, H, W, C), qkv.dtype),
-        interpret=interpret,
-    )(qkv, bias_tiled, mask_tiled)
-
-
 def _row_kernel(qkv_ref, bias_ref, mask_ref, out_ref, *, heads, scale, ws,
                 single_mask):
     """One grid cell = one ROW of windows (mosaic tiling requires the

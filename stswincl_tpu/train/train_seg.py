@@ -13,8 +13,7 @@ automatically (see `stswincl_tpu/parallel/mesh.py`).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
