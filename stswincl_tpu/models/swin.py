@@ -88,6 +88,20 @@ class _LinearParams(nn.Module):
         return kernel, bias
 
 
+class _NormParams(nn.Module):
+    """nn.LayerNorm-compatible (scale, bias) params for fused norm kernels."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return scale, bias
+
+
 class WindowAttention(nn.Module):
     """QKV + relative-position-bias window attention on an image-layout
     clip (B, T, H, W, C) -> (B, T, H, W, C); input is already cyclically
@@ -264,10 +278,26 @@ class SpaceTimeSwinBlock(nn.Module):
         xo = xo.reshape(B, T, L, C)
 
         # --- reference's nonstandard residual/norm order (`:234-235`) ---
+        # On TPU the residual-add + LayerNorm chains are fused into single
+        # HBM passes (the dominant remaining cost once attention is fused:
+        # 6.1 of 13.7 ms in convert_reduce traffic). A STANDALONE LN kernel
+        # measured slower (it orphans the adds XLA had fused); subsuming the
+        # add is what wins. Off-TPU keeps the flax path.
+        from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+        if _is_tpu_backend():
+            from stswincl_tpu.ops.pallas_add_layernorm import (
+                fused_add_layer_norm)
+            s2, b2 = _NormParams(self.dim, name="norm2")()
+            s1, b1 = _NormParams(self.dim, name="norm1")()
+            x_sum, mlp_in = fused_add_layer_norm(
+                shortcut.astype(self.dtype), xo.astype(self.dtype), s2, b2)
+            mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                          gelu_exact=self.gelu_exact, dtype=self.dtype,
+                          name="mlp")(mlp_in)
+            _, x = fused_add_layer_norm(
+                x_sum, mlp_out.astype(self.dtype), s1, b1, return_sum=False)
+            return x
         x = shortcut + xo  # no pre-norm on the attention branch
-        # measured: flax LN (XLA-fused with the residual adds) beats the
-        # standalone pallas LN kernel here (17.35 vs 18.15 ms stack time) —
-        # the fused kernel fragments XLA's surrounding fusions.
         mlp_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim,
                       gelu_exact=self.gelu_exact, dtype=self.dtype,
