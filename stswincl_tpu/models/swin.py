@@ -61,6 +61,17 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+
+        if _is_tpu_backend():
+            # fused fc1+GELU+fc2: the hidden activations and their GELU
+            # round trip (~250MB/block) stay in VMEM (ops/pallas_mlp.py)
+            from stswincl_tpu.ops.pallas_mlp import fused_mlp
+            C = x.shape[-1]
+            w1, b1 = _LinearParams(C, self.hidden, name="fc1")()
+            w2, b2 = _LinearParams(self.hidden, self.out, name="fc2")()
+            return fused_mlp(x.astype(self.dtype), w1, b1, w2, b2,
+                             self.gelu_exact)
         x = nn.Dense(self.hidden, kernel_init=torch_dense_kernel_init,
                      bias_init=torch_bias_init(x.shape[-1]),
                      dtype=self.dtype, name="fc1")(x)

@@ -1,0 +1,89 @@
+"""Fused MLP kernel: interpret parity + grads + block routing proof."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stswincl_tpu.ops.pallas_mlp import fused_mlp, mlp_ref
+
+
+def _params(rng, C=64, hidden=256):
+    x = jnp.asarray(rng.standard_normal((2, 48, C)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((C, hidden)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.standard_normal((hidden, C)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.05)
+    return x, w1, b1, w2, b2
+
+
+def test_forward_matches_ref(rng):
+    x, w1, b1, w2, b2 = _params(rng)
+    for exact in (True, False):
+        got = fused_mlp(x, w1, b1, w2, b2, exact, True)
+        want = mlp_ref(x.reshape(-1, 64), w1, b1, w2, b2, exact).reshape(x.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_hidden_blocking(rng):
+    # hidden 512 with block 256/512 -> multiple accumulation steps
+    x, w1, b1, w2, b2 = _params(rng, C=32, hidden=512)
+    got = fused_mlp(x, w1, b1, w2, b2, True, True)
+    want = mlp_ref(x.reshape(-1, 32), w1, b1, w2, b2, True).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grads_match_ref(rng):
+    x, w1, b1, w2, b2 = _params(rng, C=32, hidden=128)
+
+    def loss_f(*a):
+        return jnp.sum(fused_mlp(*a, True, True) ** 2)
+
+    def loss_r(x, w1, b1, w2, b2):
+        return jnp.sum(mlp_ref(x.reshape(-1, 32), w1, b1, w2, b2, True) ** 2)
+
+    g0 = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g1 = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_full_stack_with_fused_mlp_matches_flax(rng):
+    from stswincl_tpu.models import SwinTemporalStack
+    import stswincl_tpu.ops.pallas_attention as pa
+    import stswincl_tpu.ops.pallas_mlp as pm
+    import stswincl_tpu.ops.pallas_add_layernorm as paln
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16, 32)).astype(np.float32))
+    m = SwinTemporalStack(dim=32, input_resolution=(16, 16), num_heads=4,
+                          attn_impl="einsum")
+    v = m.init(jax.random.key(0), x)
+    s1_e, s2_e = m.apply(v, x)
+
+    mlp_calls = []
+    orig_mlp = pm.fused_mlp
+    orig_faln = paln.fused_add_layer_norm
+
+    def forced_mlp(x, w1, b1, w2, b2, gelu_exact=True, interpret=False):
+        mlp_calls.append(1)
+        return orig_mlp(x, w1, b1, w2, b2, gelu_exact, True)
+
+    saved = pa._is_tpu_backend
+    pm.fused_mlp = forced_mlp
+    paln.fused_add_layer_norm = (
+        lambda x, y, s, b, eps=1e-5, return_sum=True, interpret=False:
+        orig_faln(x, y, s, b, eps, return_sum, True))
+    pa._is_tpu_backend = lambda: True
+    try:
+        s1_p, s2_p = m.apply(v, x)
+    finally:
+        pm.fused_mlp = orig_mlp
+        paln.fused_add_layer_norm = orig_faln
+        pa._is_tpu_backend = saved
+    assert len(mlp_calls) == 12
+    np.testing.assert_allclose(np.asarray(s1_p), np.asarray(s1_e),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2_p), np.asarray(s2_e),
+                               rtol=1e-4, atol=1e-4)
