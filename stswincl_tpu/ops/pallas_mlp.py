@@ -25,6 +25,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _gelu(x, exact):
+    """GELU lowerable in Pallas: jax.nn.gelu's exact path uses erfc, which
+    mosaic can't lower — use erf directly (0.5 x (1 + erf(x/sqrt(2))))."""
+    if exact:
+        return 0.5 * x * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
+    c = (2.0 / jnp.pi) ** 0.5
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x ** 3)))
+
+
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, acc, *,
                 gelu_exact):
     """Grid (row_tiles, h_blocks); h innermost. x: (tk, C); w1: (C, hb);
@@ -35,7 +44,7 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, acc, *,
     x = x_ref[:]
     h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[0].astype(jnp.float32)
-    h = jax.nn.gelu(h, approximate=not gelu_exact)
+    h = _gelu(h, gelu_exact)
     part = jnp.dot(h.astype(x.dtype), w2_ref[:],
                    preferred_element_type=jnp.float32)
 
