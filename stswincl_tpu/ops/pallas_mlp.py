@@ -83,18 +83,25 @@ def mlp_ref(x, w1, b1, w2, b2, gelu_exact=True):
     return out.astype(x.dtype)
 
 
-def _pick_row_tile(rows: int) -> int:
-    for tk in (512, 256, 128, 64, 32, 16, 8):
-        if rows % tk == 0:
-            return tk
-    return rows
-
-
-def _pick_h_block(hidden: int) -> int:
+def _pick_h_block(hidden: int, C: int) -> int:
+    """Weight blocks (C, hb)+(hb, C) are double-buffered: keep their total
+    under ~8MB of the 16MB VMEM."""
+    budget = 8 * 1024 * 1024
     for hb in (2048, 1024, 512, 256, 128):
-        if hidden % hb == 0 and hb <= hidden:
+        if hidden % hb == 0 and 2 * 2 * 2 * C * hb <= budget:
             return hb
-    return hidden
+    return 128
+
+
+def _pick_row_tile(rows: int, C: int, hb: int) -> int:
+    """x/out tiles (x2 buffers) + fp32 hidden + fp32 accumulator within the
+    remaining ~6MB."""
+    budget = 6 * 1024 * 1024
+    per_row = 4 * C * 2 + hb * 4 + C * 4  # bf16 x/out pairs + h + acc
+    for tk in (512, 256, 128, 64, 32, 16, 8):
+        if rows % tk == 0 and tk * per_row <= budget:
+            return tk
+    return 8
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -104,8 +111,8 @@ def fused_mlp(x, w1, b1, w2, b2, gelu_exact=True, interpret=False):
     x2d = x.reshape(-1, C)
     R = x2d.shape[0]
     hidden = w1.shape[1]
-    tk = _pick_row_tile(R)
-    hb = _pick_h_block(hidden)
+    hb = _pick_h_block(hidden, C)
+    tk = _pick_row_tile(R, C, hb)
 
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, gelu_exact=gelu_exact),
