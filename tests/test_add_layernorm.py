@@ -66,7 +66,7 @@ def test_block_with_fused_ln_matches_flax_path(rng):
     from stswincl_tpu.models import SwinTemporalStack
     import stswincl_tpu.ops.pallas_attention as pa
     import stswincl_tpu.ops.pallas_add_layernorm as paln
-    import stswincl_tpu.ops.pallas_block_attention as pba
+    import stswincl_tpu.ops.pallas_mlp as pm
 
     x = jnp.asarray(rng.standard_normal((1, 4, 16, 16, 32)).astype(np.float32))
     m = SwinTemporalStack(dim=32, input_resolution=(16, 16), num_heads=4,
@@ -75,6 +75,7 @@ def test_block_with_fused_ln_matches_flax_path(rng):
     s1_e, s2_e = m.apply(v, x)
 
     orig_faln = paln.fused_add_layer_norm
+    orig_mlp = pm.fused_mlp
     calls = []
 
     def forced_faln(x, y, s, b, eps=1e-5, return_sum=True, interpret=False):
@@ -83,12 +84,16 @@ def test_block_with_fused_ln_matches_flax_path(rng):
 
     saved_backend = pa._is_tpu_backend
     paln.fused_add_layer_norm = forced_faln
+    pm.fused_mlp = (lambda x, w1, b1, w2, b2, gelu_exact=True,
+                    interpret=False: orig_mlp(x, w1, b1, w2, b2, gelu_exact,
+                                              True))
     pa._is_tpu_backend = lambda: True
     try:
-        # attn stays einsum (explicit), norms take the fused path
+        # attn stays einsum (explicit), norms + mlp take the fused paths
         s1_p, s2_p = m.apply(v, x)
     finally:
         paln.fused_add_layer_norm = orig_faln
+        pm.fused_mlp = orig_mlp
         pa._is_tpu_backend = saved_backend
     assert len(calls) == 2 * 12  # two fused norms per block, 12 blocks
     np.testing.assert_allclose(np.asarray(s1_p), np.asarray(s1_e),
