@@ -28,12 +28,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile(rows: int, channels: int) -> int:
+def _pick_tile(rows: int, channels: int, isz: int = 2) -> int:
     """Largest row tile dividing `rows` with tile bytes bounded so the
     kernel's 6 live buffers (2 in + 2 out, double-buffered, + fp32 temps)
-    stay under the 16MB VMEM cap (measured: 1024x1024 tiles overflow by
-    8KB at C=1024)."""
-    max_tk = max(8, (512 * 1024) // max(channels, 1) // 8 * 8)
+    stay under the 16MB VMEM cap (measured: 1024x1024 bf16 tiles overflow
+    by 8KB at C=1024); dtype-aware for fp32 configs."""
+    max_tk = max(8, (1024 * 1024) // max(channels * isz, 1) // 8 * 8)
     for tk in (1024, 512, 256, 128, 64, 32, 16, 8):
         if tk <= max_tk and rows % tk == 0:
             return tk
@@ -64,7 +64,7 @@ def _add_ln_kernel_noout(x_ref, y_ref, scale_ref, bias_ref, out_ref, *, eps):
 
 def _run_add_ln(x2d, y2d, scale, bias, eps, return_sum, interpret):
     R, C = x2d.shape
-    tk = _pick_tile(R, C)
+    tk = _pick_tile(R, C, jnp.dtype(x2d.dtype).itemsize)
     grid = (R // tk,)
     row_spec = pl.BlockSpec((tk, C), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)

@@ -83,21 +83,21 @@ def mlp_ref(x, w1, b1, w2, b2, gelu_exact=True):
     return out.astype(x.dtype)
 
 
-def _pick_h_block(hidden: int, C: int) -> int:
+def _pick_h_block(hidden: int, C: int, isz: int) -> int:
     """Weight blocks (C, hb)+(hb, C) are double-buffered: keep their total
-    under ~8MB of the 16MB VMEM."""
+    under ~8MB of the 16MB VMEM (dtype-aware)."""
     budget = 8 * 1024 * 1024
     for hb in (2048, 1024, 512, 256, 128):
-        if hidden % hb == 0 and 2 * 2 * 2 * C * hb <= budget:
+        if hidden % hb == 0 and 2 * 2 * isz * C * hb <= budget:
             return hb
     return 128
 
 
-def _pick_row_tile(rows: int, C: int, hb: int) -> int:
+def _pick_row_tile(rows: int, C: int, hb: int, isz: int) -> int:
     """x/out tiles (x2 buffers) + fp32 hidden + fp32 accumulator within the
     remaining ~6MB."""
     budget = 6 * 1024 * 1024
-    per_row = 4 * C * 2 + hb * 4 + C * 4  # bf16 x/out pairs + h + acc
+    per_row = 4 * C * isz + hb * 4 + C * 4  # x/out pairs + h + acc
     for tk in (512, 256, 128, 64, 32, 16, 8):
         if rows % tk == 0 and tk * per_row <= budget:
             return tk
@@ -111,8 +111,9 @@ def fused_mlp(x, w1, b1, w2, b2, gelu_exact=True, interpret=False):
     x2d = x.reshape(-1, C)
     R = x2d.shape[0]
     hidden = w1.shape[1]
-    hb = _pick_h_block(hidden, C)
-    tk = _pick_row_tile(R, C, hb)
+    isz = jnp.dtype(x.dtype).itemsize
+    hb = _pick_h_block(hidden, C, isz)
+    tk = _pick_row_tile(R, C, hb, isz)
 
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, gelu_exact=gelu_exact),
