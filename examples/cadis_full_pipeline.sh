@@ -28,4 +28,4 @@ python -m stswincl_tpu.cli finetune-cl \
 
 python -m stswincl_tpu.cli test \
     data.root=$DATA data.dataset=cadis data.tag=$TAG \
-    init_checkpoint=$OUT/stage3/best log_dir=$OUT/test
+    test_checkpoint=$OUT/stage3/best log_dir=$OUT/test viz_dir=$OUT/test/viz

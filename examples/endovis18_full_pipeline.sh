@@ -36,4 +36,4 @@ python -m stswincl_tpu.cli finetune-cl \
 
 # test — full-resolution evaluation, exp.sh:17
 python -m stswincl_tpu.cli test \
-    data.root=$DATA init_checkpoint=$OUT/stage3/best log_dir=$OUT/test
+    data.root=$DATA test_checkpoint=$OUT/stage3/best log_dir=$OUT/test viz_dir=$OUT/test/viz

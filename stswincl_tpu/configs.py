@@ -53,6 +53,7 @@ class SegTrainConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     optimizer: str = "adam"              # adam (stage 1) | sgd (stage 3)
     lr: float = 3e-4
+    head_lr_mult: float = 1.0            # x10 = the reference's intended head group
     lr_scheduler: str = "constant"       # constant | poly | cos | step
     momentum: float = 0.9
     weight_decay: float = 1e-4
@@ -64,12 +65,14 @@ class SegTrainConfig:
     eval_every: int = 1
     ckpt_dir: str = "checkpoints/seg"
     log_dir: str = "logs/seg"
-    init_checkpoint: Optional[str] = None        # warm start (resnet-only load)
+    init_checkpoint: Optional[str] = None        # warm start (tolerant merge)
     pretrain_checkpoint: Optional[str] = None    # stage-2 ckpt for stage 3
     torch_checkpoint: Optional[str] = None       # reference .pth/.t7 import
     imagenet_checkpoint: Optional[str] = None    # torchvision resnet18 .pth
+    test_checkpoint: Optional[str] = None        # ckpt dir the `test` cmd loads
     resume: bool = False
     eval_hw: Tuple[int, int] = (1024, 1280)
+    viz_dir: Optional[str] = None                # per-frame prediction PNG dumps
 
 
 @dataclass
@@ -84,6 +87,7 @@ class ContrastTrainConfig:
     warmup_multiplier: float = 100.0
     num_epochs: int = 150
     momentum: float = 0.99               # pixpro EMA momentum (cosine ramp)
+    pixpro_ins_loss_weight: float = 0.0  # >0 enables the instance branch
     lars_trust_coef: float = 1e-3
     lr_scheduler: str = "cosine"
     init_checkpoint: Optional[str] = None   # stage-1 seg ckpt (required path)

@@ -28,6 +28,15 @@ CADIS_COLORMAP = np.asarray([
     [10, 91, 44], [2, 0, 60], [0, 144, 2], [133, 59, 59],
 ], dtype=np.uint8)
 
+# EndoVis18 challenge class colors (`seg18/test.py:44-57`; public challenge
+# constants) — background, shaft, clasper, wrist, kidney-parenchyma,
+# covered-kidney, thread, clamps, needle, suction, small-intestine, US probe
+ENDOVIS_COLORMAP = np.asarray([
+    [0, 0, 0], [0, 255, 0], [0, 255, 255], [125, 255, 12],
+    [255, 55, 0], [24, 55, 125], [187, 155, 25], [0, 255, 125],
+    [255, 255, 125], [123, 15, 175], [124, 155, 5], [12, 255, 141],
+], dtype=np.uint8)
+
 
 def label_to_rgb(mask: np.ndarray, colormap: np.ndarray) -> np.ndarray:
     """(H, W) int mask -> (H, W, 3) uint8 via a (C, 3) color table."""

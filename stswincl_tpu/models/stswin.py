@@ -156,6 +156,7 @@ class DeepLabV3Plus(nn.Module):
 
     num_classes: int
     layers: int = 18  # 18 -> ResNet18-OS8; 50 -> ResNet50-OS16 + 256-branch ASPP
+    width: int = 64   # ResNet stage width (64 = reference dimensioning)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -168,8 +169,10 @@ class DeepLabV3Plus(nn.Module):
             aspp_out = ASPP(2048, 256, mid_channels=256, dtype=self.dtype,
                             name="aspp")(feats, train)
         else:
-            feats = ResNet18OS8(dtype=self.dtype, name="resnet")(x, train)
-            aspp_out = ASPP(512, 256, dtype=self.dtype, name="aspp")(feats, train)
+            feats = ResNet18OS8(width=self.width, dtype=self.dtype,
+                                name="resnet")(x, train)
+            aspp_out = ASPP(8 * self.width, 256, dtype=self.dtype,
+                            name="aspp")(feats, train)
         low = ProjectBNRelu(dtype=self.dtype, name="project")(feats, train)
         aspp_out = resize_bilinear(aspp_out, low.shape[1], low.shape[2])
         out = Classifier(self.num_classes, dtype=self.dtype, name="classifier")(

@@ -32,7 +32,11 @@ def build_model(model_cfg: ModelConfig, data_cfg: DataConfig):
         num_classes = CADIS_CLASS_NUM[data_cfg.tag]
     dtype = resolve_dtype(model_cfg.dtype)
     if model_cfg.arch == "puredeeplab18":
-        return DeepLabV3Plus(num_classes=num_classes, dtype=dtype), num_classes
+        # width tracks swin_dim so a scaled-down deeplab pre-stage produces
+        # a resnet tree the matching swinPlus run can warm-start from
+        return DeepLabV3Plus(num_classes=num_classes,
+                             width=model_cfg.swin_dim // 8,
+                             dtype=dtype), num_classes
     return TswinPlus(num_classes=num_classes, swin_dim=model_cfg.swin_dim,
                      num_heads=model_cfg.num_heads,
                      attn_impl=model_cfg.attn_impl,

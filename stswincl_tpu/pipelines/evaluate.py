@@ -26,8 +26,22 @@ from stswincl_tpu.data.loader import _seeded_rng
 
 
 def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
-                   eval_step=None, max_frames: Optional[int] = None) -> Dict:
-    """Run the full eval protocol over `dataset`; returns the summary dict."""
+                   eval_step=None, max_frames: Optional[int] = None,
+                   viz_dir: Optional[str] = None) -> Dict:
+    """Run the full eval protocol over `dataset`; returns the summary dict.
+
+    `viz_dir` (or `cfg.viz_dir`) enables the reference's qualitative
+    per-frame prediction dumps (`seg18/test.py:162-169` label2rgb /
+    `segcata/cata_test.py:137-154` plot_experiment_foreval) as RGB PNGs.
+    """
+    import os
+
+    from stswincl_tpu.eval.visualization import (
+        ENDOVIS_COLORMAP, save_prediction)
+
+    viz_dir = viz_dir or getattr(cfg, "viz_dir", None)
+    if viz_dir:
+        os.makedirs(viz_dir, exist_ok=True)
     is_cadis = cfg.data.dataset == "cadis"
     if eval_step is None:
         eval_step = make_seg_eval_step(model, out_hw=cfg.eval_hw,
@@ -57,6 +71,14 @@ def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
             pred = np.asarray(
                 Image.fromarray(pred.astype(np.int32), mode="I").resize(
                     (label.shape[1], label.shape[0]), Image.NEAREST))
+        if viz_dir:
+            path = sample.get("path")
+            name = (f"seq{path[0]}_frame{path[1]}" if path is not None
+                    else f"frame{i:05d}")
+            save_prediction(
+                os.path.join(viz_dir, name + ".png"), pred,
+                colormap=None if is_cadis else ENDOVIS_COLORMAP,
+                cadis_tag=cfg.data.tag if is_cadis else None)
         if is_cadis:
             cm.update(label, pred)
         else:
@@ -91,7 +113,14 @@ def run_test(cfg: SegTrainConfig):
         variables = _warm_start(cfg, variables, logger)
         params, stats = variables["params"], variables["batch_stats"]
     else:
-        ckpt_dir = cfg.init_checkpoint or cfg.ckpt_dir
+        # `test_checkpoint` names the run to evaluate (full load —
+        # `load_model_full_fortest` semantics, `LoadModel.py:125-156`);
+        # `init_checkpoint` keeps its training-time meaning (warm start)
+        # but is accepted here as a fallback for older launch scripts.
+        ckpt_dir = cfg.test_checkpoint or cfg.init_checkpoint or cfg.ckpt_dir
+        if cfg.test_checkpoint is None and cfg.init_checkpoint:
+            logger.warning("test: loading from init_checkpoint=%s; prefer "
+                           "test_checkpoint= for evaluation", ckpt_dir)
         state = load_checkpoint(ckpt_dir)
         params = state["params"]
         stats = state.get("batch_stats", variables.get("batch_stats", {}))

@@ -75,7 +75,8 @@ def _make_tx(cfg: SegTrainConfig, steps_per_epoch: int):
         raise ValueError(cfg.lr_scheduler)
     if cfg.optimizer == "adam":
         return make_adam(lr)
-    return make_sgd(lr, momentum=cfg.momentum, weight_decay=cfg.weight_decay)
+    return make_sgd(lr, momentum=cfg.momentum, weight_decay=cfg.weight_decay,
+                    head_lr_mult=cfg.head_lr_mult)
 
 
 def _warm_start(cfg: SegTrainConfig, variables, logger):
@@ -123,11 +124,22 @@ def _warm_start(cfg: SegTrainConfig, variables, logger):
         stats, _ = translate_pretrain_to_seg(enc_stats, stats)
         logger.info("pretrain warm start: %d leaves kept init", len(skipped))
     elif cfg.init_checkpoint:
-        # stage-1 warm start from a previous seg run (full load)
+        # Warm start from a previous seg run with the reference's tolerant
+        # leaf merge (`seg18/utils/LoadModel.py:51-90`): leaves present in
+        # both trees with matching shapes load; shape mismatches, keys
+        # missing from the checkpoint, and checkpoint keys absent from the
+        # model all fall back to the fresh init. This is what makes the
+        # canonical cross-arch flow work — the DeepLabV3Plus pre-stage
+        # warm-starting a swinPlus run (`seg18/exp.sh:3-8`,
+        # examples/endovis18_full_pipeline.sh stage 1): the resnet subtree
+        # transfers, the swin/projections/classifier keep init.
+        from stswincl_tpu.ckpt.checkpoint import _merge
         prev = load_checkpoint(cfg.init_checkpoint)
-        params = prev["params"]
-        stats = prev.get("batch_stats", stats)
-        logger.info("seg warm start from %s", cfg.init_checkpoint)
+        skipped: list = []
+        params = _merge(params, prev.get("params", {}), (), skipped)
+        stats = _merge(stats, prev.get("batch_stats", {}), (), skipped)
+        logger.info("seg warm start from %s: %d leaves kept init/dropped",
+                    cfg.init_checkpoint, len(skipped))
 
     return {"params": params, "batch_stats": stats}
 

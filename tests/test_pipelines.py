@@ -87,7 +87,17 @@ def test_cli_test_command_e2e(tmp_path):
     from stswincl_tpu.pipelines.evaluate import run_test
 
     run_seg_training(cfg)
-    cfg.init_checkpoint = cfg.ckpt_dir
+    cfg.test_checkpoint = cfg.ckpt_dir
+    cfg.viz_dir = str(tmp_path / "viz")
     summary = run_test(cfg)
     assert summary["frames"] > 0
     assert 0.0 <= summary["iou"] <= 1.0
+
+    # qualitative viz dump (`seg18/test.py:162-169` capability): one RGB
+    # PNG per evaluated frame, at the label resolution
+    import glob
+    from PIL import Image
+    pngs = sorted(glob.glob(os.path.join(cfg.viz_dir, "*.png")))
+    assert len(pngs) == summary["frames"]
+    im = Image.open(pngs[0])
+    assert im.mode == "RGB" and im.size == (128, 64)

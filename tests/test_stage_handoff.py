@@ -66,3 +66,63 @@ def test_stage1_to_stage2_to_stage3_handoff(rng):
     enc_s = flax.core.unfreeze(enc_vars["batch_stats"])
     merged_s, sk = translate_seg_to_pretrain(seg_s, enc_s)
     assert sk == []
+
+
+def test_cross_arch_deeplab_to_swin_warm_start(tmp_path, rng):
+    """The canonical pre-stage flow (`seg18/exp.sh:3-8`): a DeepLabV3Plus
+    checkpoint warm-starts a TswinPlus run via `init_checkpoint`. The merge
+    must be reference-tolerant (`seg18/utils/LoadModel.py:51-90`): the
+    resnet subtree transfers, shape-mismatched/missing leaves keep the
+    fresh init, and the resulting tree runs the model."""
+    import logging
+
+    from stswincl_tpu.models import DeepLabV3Plus
+    from stswincl_tpu.ckpt import save_checkpoint
+    from stswincl_tpu.configs import SegTrainConfig
+    from stswincl_tpu.pipelines.seg import _warm_start
+
+    dl = DeepLabV3Plus(num_classes=5, width=8)
+    img = jnp.asarray(rng.standard_normal((1, 64, 128, 3)).astype(np.float32))
+    dl_vars = dl.init(jax.random.key(7), img, train=False)
+    # shift params so "transferred" is distinguishable from "fresh init"
+    # (small shift: large ones explode activations through the resnet)
+    dl_p = jax.tree.map(lambda a: np.asarray(a) + 1e-3,
+                        flax.core.unfreeze(dl_vars["params"]))
+    dl_s = flax.core.unfreeze(dl_vars["batch_stats"])
+    save_checkpoint(str(tmp_path / "dl"), 0,
+                    {"params": dl_p, "batch_stats": dl_s})
+
+    seg = TswinPlus(num_classes=5, swin_dim=64)
+    clip = jnp.asarray(rng.standard_normal((1, 4, 64, 128, 3)).astype(np.float32))
+    seg_vars = seg.init(jax.random.key(8), clip, train=False)
+    fresh_p = flax.core.unfreeze(seg_vars["params"])
+
+    cfg = SegTrainConfig(init_checkpoint=str(tmp_path / "dl"))
+    merged = _warm_start(cfg, seg_vars, logging.getLogger("test"))
+
+    # resnet subtree transferred wholesale (same arch + width)
+    for a, b in zip(jax.tree.leaves(merged["params"]["resnet"]),
+                    jax.tree.leaves(dl_p["resnet"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # swin has no counterpart in the deeplab ckpt -> kept fresh init
+    for a, b in zip(jax.tree.leaves(merged["params"]["swin"]),
+                    jax.tree.leaves(fresh_p["swin"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # aspp input width differs (64 vs 128 ch) -> mismatched leaves kept init
+    a0 = merged["params"]["aspp"]["branch_1x1"]["conv"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(a0),
+        np.asarray(fresh_p["aspp"]["branch_1x1"]["conv"]["kernel"]))
+    # classifier conv2 (256 -> C, shared shape) transfers; conv1 (input
+    # width differs) keeps init — the reference's leaf-level behavior
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["classifier"]["conv2"]["kernel"]),
+        np.asarray(dl_p["classifier"]["conv2"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["classifier"]["conv1"]["kernel"]),
+        np.asarray(fresh_p["classifier"]["conv1"]["kernel"]))
+
+    # and the merged tree must actually run
+    y = seg.apply(merged, clip, train=False)
+    assert y.shape == (1, 64, 128, 5)
+    assert np.isfinite(np.asarray(y)).all()
