@@ -11,8 +11,9 @@ copies of every submodule, with the 6-clip key forward pasted six times and
 EMA updates as in-place parameter loops. JAX separates parameters from
 code, so here there is a single `ContrastEncoder` module; the training step
 (`stswincl_tpu/train/train_contrast.py`) holds two param pytrees (query +
-key), applies the same module under `stop_gradient` for keys, vmaps the key
-pass over the 6 clips, and does the cosine-ramped EMA as one `tree_map` —
+key), applies the same module under `stop_gradient` for keys, scans the key
+pass over the 6 clips (`lax.scan`, so BN stats thread through in reference
+order), and does the cosine-ramped EMA as one `tree_map` —
 the momentum schedule `1-(1-m)*(cos(pi*k/K)+1)/2` matches
 `PixPro_swin_v5.py:258-263`.
 """
@@ -58,17 +59,33 @@ def ProjHead(dtype=jnp.float32, name="projector"):
     return MLP2d(inner_dim=512, out_dim=256, dtype=dtype, name=name)
 
 
+def PredHead(dtype=jnp.float32, name="predictor"):
+    """Pred_Head: MLP2d(256 -> 4096 -> 256) (`PixPro_swin_v5.py:134-135`)."""
+    return MLP2d(inner_dim=4096, out_dim=256, dtype=dtype, name=name)
+
+
 class ContrastEncoder(nn.Module):
     """TswinPlus trunk + projector + L2 norm: clip -> (B, h8, w8, 256).
 
     One set of weights; the train step maintains query/key copies.
     `num_classes` only sizes the (unused during pretraining) classifier so
     checkpoints translate losslessly between stages.
+
+    `with_instance=True` adds the reference's instance-level branch
+    (`PixPro_swin_v5.py:243-256`, gated there by
+    `--pixpro-ins-loss-weight`, 0 in every shipped launcher): a global
+    average pool of the 400-ch feature map (the reference's
+    `AvgPool2d(7, stride=1)` assumes the upstream PixPro's 7x7 map, i.e. a
+    global pool), an instance projector (Proj_Head clone) and a Pred_Head
+    predictor on the query side. Returns (pixel_proj, ins_proj, ins_pred):
+    the key branch consumes ins_proj (its predictor params are unused, as
+    the reference's key branch has none), the query branch ins_pred.
     """
 
     num_classes: int
     swin_dim: int = 512
     num_heads: int = 4
+    with_instance: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -81,4 +98,14 @@ class ContrastEncoder(nn.Module):
         proj = proj.astype(jnp.float32)
         norm = jnp.sqrt(jnp.sum(proj * proj, axis=-1, keepdims=True))
         # F.normalize semantics: eps guards the zero vector
-        return proj / jnp.maximum(norm, 1e-12)
+        pix = proj / jnp.maximum(norm, 1e-12)
+        if not self.with_instance:
+            return pix
+
+        pooled = jnp.mean(features, axis=(1, 2), keepdims=True)  # (B,1,1,400)
+        ins_proj = ProjHead(dtype=self.dtype, name="projector_instance")(
+            pooled, train)
+        ins_pred = PredHead(dtype=self.dtype, name="predictor")(
+            ins_proj, train)
+        return pix, ins_proj[:, 0, 0].astype(jnp.float32), \
+            ins_pred[:, 0, 0].astype(jnp.float32)

@@ -51,6 +51,7 @@ def run_contrast_pretraining(cfg: ContrastTrainConfig):
     model = ContrastEncoder(num_classes=class_num,
                             swin_dim=cfg.model.swin_dim,
                             num_heads=cfg.model.num_heads,
+                            with_instance=cfg.pixpro_ins_loss_weight > 0,
                             dtype=resolve_dtype(cfg.model.dtype))
 
     dataset = build_contrast_dataset(cfg.data)
@@ -92,7 +93,8 @@ def run_contrast_pretraining(cfg: ContrastTrainConfig):
 
     train_step = make_contrast_train_step(
         model, tx, class_num=class_num, total_steps=total_steps,
-        base_momentum=cfg.momentum)
+        base_momentum=cfg.momentum,
+        ins_loss_weight=cfg.pixpro_ins_loss_weight)
 
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()

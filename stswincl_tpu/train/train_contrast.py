@@ -72,18 +72,31 @@ def make_contrast_train_step(
     class_num: int,
     total_steps: int,
     base_momentum: float = 0.99,
+    ins_loss_weight: float = 0.0,
 ) -> Callable:
     """(state, clips, labels) -> (state, metrics).
 
     clips: (B, 6, T, H, W, 3) — views [v1, v2, adjacent, neg1, neg2, neg3];
     labels: (B, 6, Hc, Wc) int32 crop-resolution label maps.
+
+    `ins_loss_weight > 0` (reference `--pixpro-ins-loss-weight`,
+    `PixPro_swin_v5.py:243-256`) requires a model built with
+    `with_instance=True` and adds the instance-level BYOL-style term:
+    `2 - 2*cos(pred_q(view_a), proj_k(view_b))`, symmetrized over the two
+    query views; the key-side instance projector rides the same EMA as
+    every other key parameter (`:287-289`).
     """
+    with_instance = ins_loss_weight > 0.0
 
     def encode_q(params, stats, clip):
         out, updates = model.apply(
             {"params": params, "batch_stats": stats},
             clip, train=True, mutable=["batch_stats"])
         return out, updates["batch_stats"]
+
+    def l2n(v):
+        return v / jnp.maximum(
+            jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)), 1e-12)
 
     def key_pass(params_k, stats_k, clips):
         """Sequentially encode the 6 views with the key branch; BN running
@@ -116,6 +129,11 @@ def make_contrast_train_step(
         keys, new_stats_k = key_pass(params_k, stats_k, clips)
         keys = jax.lax.stop_gradient(keys)
 
+        if with_instance:
+            q1, _, ipred1 = q1
+            q2, _, ipred2 = q2
+            keys, kproj, _ = keys  # kproj: (6, B, 256)
+
         B, h, w, C = q1.shape
         lab = downsample_labels(labels, h, w)  # (B, 6, hw)
 
@@ -125,7 +143,14 @@ def make_contrast_train_step(
             class_sum_contrastive_loss(to_flat(q1), lab[:, 0], k_sets_1, class_num)
             + class_sum_contrastive_loss(to_flat(q2), lab[:, 1], k_sets_2, class_num)
         )
-        return loss, (stats_q2, new_stats_k)
+        ins_loss = jnp.float32(0.0)
+        if with_instance:
+            cos12 = jnp.sum(l2n(ipred1) * l2n(kproj[1]), axis=-1)
+            cos21 = jnp.sum(l2n(ipred2) * l2n(kproj[0]), axis=-1)
+            ins_loss = (2.0 - 2.0 * jnp.mean(cos12)) + \
+                       (2.0 - 2.0 * jnp.mean(cos21))
+            loss = loss + ins_loss_weight * ins_loss
+        return loss, (stats_q2, new_stats_k, ins_loss)
 
     @jax.jit
     def train_step(state: ContrastTrainState, clips, labels):
@@ -135,16 +160,20 @@ def make_contrast_train_step(
         params_k = jax.tree.map(lambda k, q: k * m + q * (1.0 - m),
                                 state.params_k, state.params_q)
 
-        (loss, (new_stats_q, new_stats_k)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params_q, state.stats_q,
-                                   params_k, state.stats_k, clips, labels)
+        (loss, (new_stats_q, new_stats_k, ins_loss)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params_q, state.stats_q,
+                params_k, state.stats_k, clips, labels)
         updates, new_opt = tx.update(grads, state.opt_state, state.params_q)
         new_params_q = optax.apply_updates(state.params_q, updates)
         new_state = state.replace(
             params_q=new_params_q, stats_q=new_stats_q,
             params_k=params_k, stats_k=new_stats_k,
             opt_state=new_opt, step=state.step + 1)
-        return new_state, {"loss": loss, "momentum": m,
-                           "grad_norm": optax.global_norm(grads)}
+        metrics = {"loss": loss, "momentum": m,
+                   "grad_norm": optax.global_norm(grads)}
+        if with_instance:
+            metrics["ins_loss"] = ins_loss
+        return new_state, metrics
 
     return train_step

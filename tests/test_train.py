@@ -116,6 +116,49 @@ def test_contrast_train_step(rng):
     assert not np.allclose(k_leaf, q_leaf)  # EMA lags
 
 
+def test_contrast_train_step_instance_branch(rng):
+    """`pixpro_ins_loss_weight > 0` path on the REAL ContrastEncoder
+    (`PixPro_swin_v5.py:243-256,287-289`): instance projector + predictor
+    params exist, the loss (incl. ins term) is finite, and the key-side
+    instance projector rides the EMA."""
+    from stswincl_tpu.models import ContrastEncoder
+
+    model = ContrastEncoder(num_classes=5, swin_dim=64, with_instance=True)
+    clips = jnp.asarray(
+        rng.standard_normal((1, 6, 4, 64, 128, 3)).astype(np.float32))
+    labels = jnp.asarray(
+        rng.integers(0, 5, size=(1, 6, 64, 128)).astype(np.int32))
+    variables = model.init(jax.random.key(0), clips[:, 0], train=False)
+    assert "projector_instance" in variables["params"]
+    assert "predictor" in variables["params"]
+
+    tx = make_lars(warmup_cosine_schedule(0.1, 10, 100))
+    state = ContrastTrainState.create(variables, tx)
+    # base_momentum=0 -> m~0, the key branch tracks the query branch within
+    # a step: realistic momenta (0.99) move the key by ~1e-2 * grad-step,
+    # which fp32 rounds away against ~0.05-magnitude kernels in a 2-step test
+    step = make_contrast_train_step(model, tx, class_num=5, total_steps=100,
+                                    base_momentum=0.0, ins_loss_weight=1.0)
+    ins_k0 = [np.asarray(l).copy() for l in
+              jax.tree.leaves(state.params_k["projector_instance"])]
+    state, metrics = step(state, clips, labels)
+    state, metrics = step(state, clips, labels)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["ins_loss"]))
+    # cos in [-1, 1] per pair -> 2-2cos in [0, 4], summed over 2 pairs
+    assert 0.0 <= float(metrics["ins_loss"]) <= 8.0
+    # query-side instance projector received gradient...
+    moved_q = [not np.array_equal(np.asarray(a), b) for a, b in
+               zip(jax.tree.leaves(state.params_q["projector_instance"]),
+                   ins_k0)]
+    assert any(moved_q), "no gradient reached the instance projector"
+    # ...and the key side rides the EMA (tiny but bitwise-visible change)
+    moved_k = [not np.array_equal(np.asarray(a), b) for a, b in
+               zip(jax.tree.leaves(state.params_k["projector_instance"]),
+                   ins_k0)]
+    assert any(moved_k), "key instance projector not EMA-updated"
+
+
 def test_momentum_schedule_endpoints():
     m0 = contrast_momentum(0, 100, 0.99)
     mK = contrast_momentum(100, 100, 0.99)
