@@ -11,7 +11,6 @@ from stswincl_tpu.ops.pallas_block_attention import (
     windowed_attention_image,
     fused_swin_block_attention,
 )
-from stswincl_tpu.ops.pallas_layernorm import fused_layer_norm, FusedLayerNorm
 from stswincl_tpu.ops.resize import (
     resize_bilinear,
     resize_nearest,

@@ -16,6 +16,13 @@ beyond x, scale).
 The public wrapper falls back to plain XLA math off-TPU; the flax module
 `FusedLayerNorm` uses the same 'scale'/'bias' parameter names as
 nn.LayerNorm so variable trees and the torch importer are unchanged.
+
+STATUS: benchmark artifact, not routed in any model path. In end-to-end
+measurement the STANDALONE kernel lost to XLA (it orphans the residual adds
+XLA had fused into the norm) and was superseded by
+`pallas_add_layernorm.fused_add_layer_norm`, which subsumes the add. Kept
+(with its tests) as the documented negative result and a baseline for
+future kernel comparisons; deliberately not exported from `ops/__init__`.
 """
 
 from __future__ import annotations

@@ -12,11 +12,12 @@ Parity targets:
   * stage-3 fine-tune: SGD momentum 0.9, wd 1e-4, poly(0.9) schedule stepped
     per iteration (`train_CL_ft_mswin_sgd_minput.py:162-165`,
     `seg18/utils/lr_scheduler.py:46-67`). Note: the reference builds a x10
-    classifier param group but its `LR_Scheduler_Head._adjust_learning_rate`
-    overwrites every group with the same LR each iteration
-    (`lr_scheduler.py:75-83`), so the effective schedule is uniform — we
-    implement the uniform behavior and expose `head_lr_mult` for the
-    (never-active) intended variant.
+    classifier param group (`train_CL_ft_mswin_sgd_minput.py:147-159`) but
+    its `LR_Scheduler_Head._adjust_learning_rate` overwrites every group
+    with the same LR each iteration (`lr_scheduler.py:75-83`), so the
+    effective schedule is uniform. `make_sgd(head_lr_mult=...)` implements
+    both: the default 1.0 reproduces the reference's effective (uniform)
+    behavior; 10.0 activates the intended classifier boost.
 
 All schedules are optax-style step->lr callables (pure, jit-friendly).
 """
@@ -104,14 +105,34 @@ def make_adam(lr) -> optax.GradientTransformation:
     return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
 
-def make_sgd(lr, momentum: float = 0.9,
-             weight_decay: float = 1e-4) -> optax.GradientTransformation:
+def _subtree_mask(key: str):
+    """params -> same-structure bool tree, True under top-level `key`."""
+    import jax
+
+    def mask(params):
+        return {k: jax.tree.map(lambda _: k == key, v)
+                for k, v in params.items()}
+
+    return mask
+
+
+def make_sgd(lr, momentum: float = 0.9, weight_decay: float = 1e-4,
+             head_lr_mult: float = 1.0,
+             head_key: str = "classifier") -> optax.GradientTransformation:
     """torch-SGD parity: decay folded into the gradient before the momentum
-    buffer update."""
-    return optax.chain(
+    buffer update. `head_lr_mult` scales the classifier subtree's updates
+    (the reference's intended x10 head group,
+    `train_CL_ft_mswin_sgd_minput.py:147-159`); the default 1.0 matches the
+    reference's effective behavior (its scheduler overwrites the group LRs
+    uniformly)."""
+    tx = optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.sgd(lr, momentum=momentum, nesterov=False),
     )
+    if head_lr_mult == 1.0:
+        return tx
+    return optax.chain(
+        tx, optax.masked(optax.scale(head_lr_mult), _subtree_mask(head_key)))
 
 
 def make_lars(lr, weight_decay: float = 1e-5,

@@ -103,3 +103,34 @@ def test_step_timer():
             pass
     s = t.summary()
     assert s["steps"] == 3 and s["mean_s"] >= 0
+
+
+def test_sgd_head_lr_mult(rng):
+    """`make_sgd(head_lr_mult=10)` scales ONLY the classifier subtree's
+    updates x10 (the reference's intended head group,
+    `train_CL_ft_mswin_sgd_minput.py:147-159`); default 1.0 is uniform."""
+    import jax
+    import jax.numpy as jnp
+    from stswincl_tpu.train.optim import make_sgd
+
+    params = {
+        "resnet": {"kernel": jnp.ones((3, 3))},
+        "classifier": {"conv2": {"kernel": jnp.ones((2, 2)),
+                                 "bias": jnp.zeros((2,))}},
+    }
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+
+    tx_uniform = make_sgd(1e-2, momentum=0.0, weight_decay=0.0)
+    tx_head = make_sgd(1e-2, momentum=0.0, weight_decay=0.0,
+                       head_lr_mult=10.0)
+    up_u, _ = tx_uniform.update(grads, tx_uniform.init(params), params)
+    up_h, _ = tx_head.update(grads, tx_head.init(params), params)
+
+    np.testing.assert_allclose(np.asarray(up_h["resnet"]["kernel"]),
+                               np.asarray(up_u["resnet"]["kernel"]))
+    np.testing.assert_allclose(
+        np.asarray(up_h["classifier"]["conv2"]["kernel"]),
+        10.0 * np.asarray(up_u["classifier"]["conv2"]["kernel"]))
+    np.testing.assert_allclose(
+        np.asarray(up_h["classifier"]["conv2"]["bias"]),
+        10.0 * np.asarray(up_u["classifier"]["conv2"]["bias"]))
