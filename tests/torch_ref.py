@@ -1,9 +1,12 @@
 """Test-only PyTorch replica of the STswin architecture.
 
-Written independently from the architecture spec documented in SURVEY.md §2
-and the module docstrings, with reference-style parameter naming, to serve
-as the golden model for importer/logit parity tests. NOT used by the
-framework itself.
+The golden oracle for importer/logit parity tests; NOT used by the framework
+itself. Structure and parameter naming follow the reference
+(`/root/reference/seg18/net/Ours/swin_512.py`) so state_dicts interchange;
+the attention forward in particular reproduces the reference's numerics
+expression-for-expression (that is its entire job). The replica is itself
+machine-checked against the actual reference module and against checked-in
+golden outputs in `tests/test_reference_parity.py`.
 """
 
 import math
