@@ -32,6 +32,9 @@ class DataConfig:
     batch_size: int = 8
     num_workers: int = 4
     seed: int = 0
+    # optional RandAugment config string for the contrastive clip views
+    # (e.g. "rand-m9-mstd0.5"); None = reference behavior (menu unwired)
+    rand_augment: Optional[str] = None
 
 
 @dataclass

@@ -76,6 +76,7 @@ class ContrastiveClipDataset:
         sequences: Optional[Sequence[int]] = None,
         frames_per_seq: Optional[Dict[int, int]] = None,
         crop_scale: Tuple[float, float] = (0.09, 0.49),
+        rand_augment: Optional[str] = None,
     ):
         self.root = root
         self.dataset = dataset
@@ -83,6 +84,20 @@ class ContrastiveClipDataset:
         self.crop_h, self.crop_w = crop_hw
         self.src_w, self.src_h = src_wh
         self.crop_scale = crop_scale
+        # optional RandAugment menu (config string, e.g. "rand-m9-mstd0.5");
+        # off by default — the reference ships the menu unwired
+        # (`contrast/data/augs.py`, SURVEY.md §2.1), here it is one option.
+        # NOTE: the menu's geometric ops (shear/translate/rotate) move image
+        # pixels but not the label map used as the pairing oracle — exactly
+        # as the reference's MapTransform would have; prefer photometric-only
+        # magnitudes if label-pixel alignment must stay exact
+        if rand_augment:
+            from stswincl_tpu.data.rand_augment import (
+                ClipRandAugment, rand_augment_transform)
+            self.clip_augment = ClipRandAugment(
+                rand_augment_transform(rand_augment))
+        else:
+            self.clip_augment = None
 
         if dataset == "endovis18":
             self.sequences = tuple(sequences) if sequences else (
@@ -144,6 +159,8 @@ class ContrastiveClipDataset:
     def _view(self, imgs, label, rng):
         clip, lab, coord = resized_crop_clip(
             imgs, label, self.crop_h, self.crop_w, rng, scale=self.crop_scale)
+        if self.clip_augment is not None:
+            clip = self.clip_augment(rng, clip.astype(np.uint8))
         mean, std = self.normalize
         clip = (clip.astype(np.float32) / 255.0 - mean) / std
         return clip, lab.astype(np.int32), coord

@@ -63,7 +63,8 @@ def build_contrast_dataset(cfg: DataConfig):
                                         num_classes=cfg.num_classes)
     name = "cadis" if cfg.dataset == "cadis" else "endovis18"
     return ContrastiveClipDataset(cfg.root, name, tag=cfg.tag,
-                                  crop_hw=cfg.crop_hw)
+                                  crop_hw=cfg.crop_hw,
+                                  rand_augment=cfg.rand_augment)
 
 
 def build_loader(dataset, cfg: DataConfig, shuffle=True, batch_size=None):

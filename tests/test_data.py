@@ -151,6 +151,26 @@ def test_contrastive_views(endovis_tree):
     np.testing.assert_array_equal(s["clips"], s2["clips"])
 
 
+def test_contrastive_views_rand_augment(endovis_tree):
+    """rand_augment config wires ClipRandAugment into the view pipeline:
+    deterministic, shape-preserving, and actually changes pixels."""
+    kw = dict(crop_hw=(32, 48), src_wh=(80, 64), sequences=[1, 2, 3, 4, 5],
+              frames_per_seq={s: 8 for s in [1, 2, 3, 4, 5]})
+    base = ContrastiveClipDataset(endovis_tree, "endovis18", **kw)
+    aug = ContrastiveClipDataset(endovis_tree, "endovis18",
+                                 rand_augment="rand-m9-n2", **kw)
+    s_aug = aug.get(6, np.random.default_rng(2))
+    assert s_aug["clips"].shape == (6, 4, 32, 48, 3)
+    s_aug2 = aug.get(6, np.random.default_rng(2))
+    np.testing.assert_array_equal(s_aug["clips"], s_aug2["clips"])
+    # over several samples, some draw must modify the view
+    changed = any(
+        not np.allclose(aug.get(i, np.random.default_rng(i))["clips"],
+                        base.get(i, np.random.default_rng(i))["clips"])
+        for i in range(4))
+    assert changed
+
+
 def test_loader_batching_and_sharding():
     ds = SyntheticSegDataset(length=16, t=2, hw=(32, 32), num_classes=5)
     loader = Loader(ds, batch_size=4, shuffle=True, seed=1, num_workers=2)

@@ -1,0 +1,169 @@
+"""RandAugment menu: PIL-parity for pointwise ops, geometric sanity,
+config grammar, explicit-RNG determinism, clip consistency."""
+
+import numpy as np
+import pytest
+from PIL import Image, ImageEnhance, ImageOps
+
+from stswincl_tpu.data import rand_augment as ra
+
+
+@pytest.fixture
+def img(rng):
+    return rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+
+
+def _pil(img):
+    return Image.fromarray(img)
+
+
+# ---- pointwise ops vs PIL ----
+
+def test_invert(img):
+    np.testing.assert_array_equal(
+        ra.invert(img), np.asarray(ImageOps.invert(_pil(img))))
+
+
+def test_solarize(img):
+    for t in (0, 77, 128, 256):
+        np.testing.assert_array_equal(
+            ra.solarize(img, t), np.asarray(ImageOps.solarize(_pil(img), t)))
+
+
+def test_solarize_add(img):
+    ours = ra.solarize_add(img, 55)
+    lut = [min(255, i + 55) if i < 128 else i for i in range(256)]
+    theirs = np.asarray(_pil(img).point(lut * 3))
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_posterize(img):
+    for bits in (1, 2, 4, 7):
+        np.testing.assert_array_equal(
+            ra.posterize(img, bits),
+            np.asarray(ImageOps.posterize(_pil(img), bits)))
+    np.testing.assert_array_equal(ra.posterize(img, 8), img)
+    assert ra.posterize(img, 0).max() == 0
+
+
+def test_autocontrast(img):
+    # make the range non-trivial per channel
+    img = (img.astype(np.int16) // 2 + 40).astype(np.uint8)
+    np.testing.assert_array_equal(
+        ra.auto_contrast(img), np.asarray(ImageOps.autocontrast(_pil(img))))
+
+
+def test_equalize(img):
+    np.testing.assert_array_equal(
+        ra.equalize(img), np.asarray(ImageOps.equalize(_pil(img))))
+
+
+@pytest.mark.parametrize("factor", [0.1, 0.7, 1.0, 1.9])
+def test_enhance_ops(img, factor):
+    pairs = [
+        (ra.contrast, ImageEnhance.Contrast),
+        (ra.color, ImageEnhance.Color),
+        (ra.brightness, ImageEnhance.Brightness),
+        (ra.sharpness, ImageEnhance.Sharpness),
+    ]
+    for ours, theirs in pairs:
+        got = ours(img, factor).astype(np.int16)
+        want = np.asarray(theirs(_pil(img)).enhance(factor)).astype(np.int16)
+        # PIL's fixed-point blend rounds differently by +-1 LSB
+        assert np.abs(got - want).max() <= 1, ours.__name__
+
+
+# ---- geometric ops ----
+
+def test_translate_matches_pil(img):
+    ours = ra.translate_x_abs(img, 5.0)
+    theirs = np.asarray(_pil(img).transform(
+        _pil(img).size, Image.AFFINE, (1, 0, 5, 0, 1, 0),
+        resample=Image.BILINEAR, fillcolor=(128, 128, 128)))
+    # integer translate is exact except PIL edge rounding
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+
+def test_shear_matches_pil(img):
+    ours = ra.shear_x(img, 0.3)
+    theirs = np.asarray(_pil(img).transform(
+        _pil(img).size, Image.AFFINE, (1, 0.3, 0, 0, 1, 0),
+        resample=Image.BILINEAR, fillcolor=(128, 128, 128)))
+    diff = np.abs(ours.astype(int) - theirs.astype(int))
+    # PIL's fill-seam handling differs (it hard-switches to fillcolor where
+    # the source footprint is partially outside; we alpha-blend) — interior
+    # must agree
+    assert np.mean(diff <= 2) > 0.95
+
+
+def test_rotate_matches_pil(img):
+    ours = ra.rotate(img, 20.0)
+    theirs = np.asarray(_pil(img).rotate(
+        20.0, resample=Image.BILINEAR, fillcolor=(128, 128, 128)))
+    diff = np.abs(ours.astype(int) - theirs.astype(int))
+    # bilinear boundary handling differs on the fill seam; interior agrees
+    assert np.mean(diff <= 2) > 0.9
+
+
+def test_rotate_roundtrip_identity(img):
+    assert np.array_equal(ra.rotate(img, 0.0), img)
+
+
+# ---- menu / grammar / determinism ----
+
+def test_config_grammar():
+    aug = ra.rand_augment_transform("rand-m9-n3-mstd0.5")
+    assert aug.num_layers == 3
+    assert aug.ops[0].magnitude == 9
+    assert aug.ops[0].magnitude_std == 0.5
+    assert aug.choice_weights is None
+    assert [o.name for o in aug.ops] == ra.RAND_TRANSFORMS
+
+    w = ra.rand_augment_transform("rand-mstd1-w0")
+    assert w.choice_weights is not None
+    np.testing.assert_allclose(w.choice_weights.sum(), 1.0)
+
+    cmc = ra.rand_augment_transform("rand-m7", use_cmc=True)
+    assert [o.name for o in cmc.ops] == ra.RAND_TRANSFORMS_CMC
+
+    with pytest.raises(ValueError):
+        ra.rand_augment_transform("auto-m9")
+
+
+def test_deterministic_given_rng(img):
+    aug = ra.rand_augment_transform("rand-m9-mstd0.5")
+    a = aug(np.random.default_rng(42), img)
+    b = aug(np.random.default_rng(42), img)
+    np.testing.assert_array_equal(a, b)
+    # and the op menu actually fires: some seed changes the image
+    changed = any(
+        not np.array_equal(aug(np.random.default_rng(s), img), img)
+        for s in range(8))
+    assert changed
+
+
+def test_clip_consistent_mode(img):
+    clip = np.stack([img, ra.invert(img)])  # 2 distinct frames
+    aug = ra.ClipRandAugment(ra.rand_augment_transform("rand-m9"))
+    rng = np.random.default_rng(3)
+    out = aug(rng, clip)
+    assert out.shape == clip.shape
+    # consistency: the same op/draws applied per frame — augmenting each
+    # frame with the same fresh rng reproduces the clip output
+    rng2 = np.random.default_rng(3)
+    seed = rng2.integers(0, 2 ** 63 - 1)
+    f0 = aug.augment(np.random.default_rng(seed), clip[0])
+    f1 = aug.augment(np.random.default_rng(seed), clip[1])
+    np.testing.assert_array_equal(out[0], f0)
+    np.testing.assert_array_equal(out[1], f1)
+
+
+def test_clip_per_frame_mode(img):
+    clip = np.stack([img] * 4)
+    aug = ra.ClipRandAugment(
+        ra.rand_augment_transform("rand-m9"), per_frame=True)
+    out = aug(np.random.default_rng(1), clip)
+    assert out.shape == clip.shape
+    # independent draws: identical input frames map to >=2 distinct outputs
+    distinct = {out[i].tobytes() for i in range(4)}
+    assert len(distinct) >= 2
