@@ -88,6 +88,10 @@ class TswinPlus(nn.Module):
     attn_impl: str = "auto"
     gelu_exact: bool = True
     remat: bool = False
+    # only the last frame's stage outputs feed the heads, so the dead
+    # (0, 2) group of the final stage-2 layer is skipped by default (~8%
+    # of swin-stack FLOPs); logits are unchanged (tests/test_models.py)
+    final_pair_only: bool = True
     dtype: Dtype = jnp.float32
 
     def trunk(self, x, train: bool):
@@ -106,6 +110,7 @@ class TswinPlus(nn.Module):
             dim=self.swin_dim, input_resolution=(h8, w8),
             num_heads=self.num_heads, attn_impl=self.attn_impl,
             gelu_exact=self.gelu_exact, remat=self.remat,
+            final_pair_only=self.final_pair_only,
             dtype=self.dtype, name="swin",
         )(feats)
         s1_last = stage1[:, -1]           # (B, h8, w8, 512)

@@ -368,6 +368,13 @@ def _apply_paired(block_pair, x, pairs):
         for blk in block_pair:
             mid = blk(mid)
         return jnp.concatenate([x[:, 0:1], mid, x[:, 3:4]], axis=1)
+    elif pairs == ((2, 4),):
+        # final-layer dead-compute skip (`final_pair_only`): only the (2, 4)
+        # group's output can reach any consumer; frames 0-1 pass through
+        tail = x[:, 2:4]
+        for blk in block_pair:
+            tail = blk(tail)
+        return jnp.concatenate([x[:, 0:2], tail], axis=1)
     else:  # pragma: no cover - schedule is static
         raise ValueError(f"unsupported pair schedule {pairs}")
 
@@ -387,6 +394,14 @@ class SwinTemporalStack(nn.Module):
     attn_impl: str = "auto"
     gelu_exact: bool = True
     remat: bool = False  # rematerialize each block in the backward pass
+    # skip the (0, 2) frame group of the LAST stage-2 layer: every shipped
+    # consumer (TswinPlus heads, contrast projector, streaming head) reads
+    # only the last frame of stage2, whose value depends solely on the
+    # (2, 4) group — the reference computes the dead half anyway
+    # (`swin_512.py:325-327` feeding `base18.py:92-96`). Frame-3 output is
+    # unchanged; stage2 frames 0-1 are then NOT the reference values, so
+    # full-tensor parity tests keep this False.
+    final_pair_only: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -438,6 +453,9 @@ class SwinTemporalStack(nn.Module):
 
         x = PatchMerging((H, W), self.dim, dtype=self.dtype, name="downsample")(x)
         for i in range(3):
-            x = _apply_paired(stage2_pair(i + 3), x, PAIR_SCHEDULE[i])
+            pairs = PAIR_SCHEDULE[i]
+            if self.final_pair_only and i == 2:
+                pairs = ((2, 4),)
+            x = _apply_paired(stage2_pair(i + 3), x, pairs)
         stage2 = x.reshape(B, T, H // 2, W // 2, 2 * C)
         return stage1, stage2

@@ -57,6 +57,7 @@ class _Head(nn.Module):
         stage1, stage2 = SwinTemporalStack(
             dim=self.swin_dim, input_resolution=(h8, w8),
             num_heads=self.num_heads, attn_impl=self.attn_impl,
+            final_pair_only=True,  # only [:, -1] is consumed below
             dtype=self.dtype, name="swin")(feats)
         s1_last, s2_last = stage1[:, -1], stage2[:, -1]
         aspp_out = ASPP(self.swin_dim * 2, 256, dtype=self.dtype,

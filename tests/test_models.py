@@ -61,6 +61,24 @@ def test_swin_pair_schedule_passthrough(rng):
     assert delta_f3 > 1e-6
 
 
+def test_swin_final_pair_only_preserves_last_frame(rng):
+    """`final_pair_only` skips the dead (0,2) group of the last stage-2
+    layer: stage1 and the consumed stage2 last frame must be unchanged;
+    stage2 frames 0-1 become pass-throughs."""
+    kw = dict(dim=32, input_resolution=(16, 16), num_heads=4)
+    full = SwinTemporalStack(**kw)
+    skip = SwinTemporalStack(final_pair_only=True, **kw)
+    x = jnp.asarray(rng.standard_normal((2, 4, 16, 16, 32)).astype(np.float32))
+    variables = full.init(jax.random.key(0), x)
+    s1f, s2f = full.apply(variables, x)
+    s1s, s2s = skip.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(s1s), np.asarray(s1f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2s[:, -1]), np.asarray(s2f[:, -1]),
+                               atol=1e-6)
+    # and it really does skip: frames 0-1 differ from the full computation
+    assert np.abs(np.asarray(s2s[:, 0]) - np.asarray(s2f[:, 0])).max() > 1e-3
+
+
 def test_aspp_shape(rng):
     m = ASPP(in_channels=128, out_channels=32)
     x = jnp.asarray(rng.standard_normal((2, 8, 10, 128)).astype(np.float32))
