@@ -38,7 +38,7 @@ N_CHAIN = 32
 
 def main():
     from stswincl_tpu.models import TswinPlus
-    from stswincl_tpu.ops.resize import resize_bilinear_align_corners
+    from stswincl_tpu.ops.resize import upsample_argmax
 
     model = TswinPlus(num_classes=12, dtype=jnp.bfloat16)
     # init at small spatial size: same param tree, far cheaper compile
@@ -47,8 +47,7 @@ def main():
 
     def one_frame(variables, clip):
         logits = model.apply(variables, clip, train=False)
-        logits = resize_bilinear_align_corners(logits, 1024, 1280)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return upsample_argmax(logits, 1024, 1280, align_corners=True)
 
     @jax.jit
     def chained(variables, clip):
@@ -68,33 +67,43 @@ def main():
     # compile + warmup
     float(chained(variables, clip))
 
-    best_fps = 0.0
+    bs1_fps = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
         float(chained(variables, clip))  # scalar D2H forces full execution
         dt = time.perf_counter() - t0
-        best_fps = max(best_fps, N_CHAIN / dt)
+        bs1_fps = max(bs1_fps, N_CHAIN / dt)
 
-    print(f"device-chained throughput bs=1: {best_fps:.2f} fps",
+    print(f"device-chained throughput bs=1: {bs1_fps:.2f} fps",
           file=sys.stderr)
 
-    # secondary: batched serving throughput (frames/sec/chip at bs=8)
+    # headline: batched serving throughput (frames/sec/chip at bs=8) — the
+    # per-chip serving number BASELINE.json's ">5x frames/sec/chip" targets
+    bs8_fps = None
     try:
         clip8 = jnp.asarray(rng.random((8, 4, 512, 640, 3), dtype=np.float32))
         float(chained(variables, clip8))
-        t0 = time.perf_counter()
-        float(chained(variables, clip8))
-        dt = time.perf_counter() - t0
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(chained(variables, clip8))
+            best = min(best, time.perf_counter() - t0)
+        bs8_fps = 8 * N_CHAIN / best
         print(f"device-chained throughput bs=8: "
-              f"{8 * N_CHAIN / dt:.2f} frames/sec/chip", file=sys.stderr)
+              f"{bs8_fps:.2f} frames/sec/chip", file=sys.stderr)
     except Exception as e:  # memory or compile limits must not kill the bench
         print(f"bs=8 probe skipped: {e}", file=sys.stderr)
 
+    if bs8_fps is not None:
+        headline = {"metric": "endovis18_infer_fps_512x640_bs8_per_chip",
+                    "value": round(bs8_fps, 3)}
+    else:
+        headline = {"metric": "endovis18_infer_fps_512x640_bs1",
+                    "value": round(bs1_fps, 3)}
     print(json.dumps({
-        "metric": "endovis18_infer_fps_512x640_bs1",
-        "value": round(best_fps, 3),
+        **headline,
         "unit": "frames/sec/chip",
-        "vs_baseline": round(best_fps / PYTORCH_GPU_FPS_ESTIMATE, 3),
+        "vs_baseline": round(headline["value"] / PYTORCH_GPU_FPS_ESTIMATE, 3),
     }))
 
 

@@ -99,6 +99,20 @@ class _LinearParams(nn.Module):
         return kernel, bias
 
 
+class _MlpParams(nn.Module):
+    """Declares the Mlp's fc1/fc2 params (same tree as :class:`Mlp`) for
+    consumption by the block-level fused add+LN+MLP kernel."""
+
+    in_features: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _LinearParams(self.in_features, self.hidden, name="fc1")()
+        w2, b2 = _LinearParams(self.hidden, self.in_features, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class _NormParams(nn.Module):
     """nn.LayerNorm-compatible (scale, bias) params for fused norm kernels."""
 
@@ -289,22 +303,24 @@ class SpaceTimeSwinBlock(nn.Module):
         xo = xo.reshape(B, T, L, C)
 
         # --- reference's nonstandard residual/norm order (`:234-235`) ---
-        # On TPU the residual-add + LayerNorm chains are fused into single
-        # HBM passes (the dominant remaining cost once attention is fused:
-        # 6.1 of 13.7 ms in convert_reduce traffic). A STANDALONE LN kernel
-        # measured slower (it orphans the adds XLA had fused); subsuming the
-        # add is what wins. Off-TPU keeps the flax path.
+        # On TPU the whole epilogue runs as TWO kernels: (shortcut + attn ->
+        # norm2 -> fc1 -> GELU -> fc2) with the normalized activations kept
+        # in VMEM (pallas_add_ln_mlp — the separate add+LN kernel made
+        # `mlp_in` round-trip HBM, ~42 MB/block), then the final add+norm1.
+        # A STANDALONE LN kernel measured slower (it orphans the adds XLA
+        # had fused); subsuming the adds is what wins. Off-TPU keeps flax.
         from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
         if _is_tpu_backend():
             from stswincl_tpu.ops.pallas_add_layernorm import (
                 fused_add_layer_norm)
+            from stswincl_tpu.ops.pallas_add_ln_mlp import fused_add_ln_mlp
             s2, b2 = _NormParams(self.dim, name="norm2")()
             s1, b1 = _NormParams(self.dim, name="norm1")()
-            x_sum, mlp_in = fused_add_layer_norm(
-                shortcut.astype(self.dtype), xo.astype(self.dtype), s2, b2)
-            mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                          gelu_exact=self.gelu_exact, dtype=self.dtype,
-                          name="mlp")(mlp_in)
+            w1, bw1, w2, bw2 = _MlpParams(
+                self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
+            x_sum, mlp_out = fused_add_ln_mlp(
+                shortcut.astype(self.dtype), xo.astype(self.dtype), s2, b2,
+                w1, bw1, w2, bw2, self.gelu_exact)
             _, x = fused_add_layer_norm(
                 x_sum, mlp_out.astype(self.dtype), s1, b1, return_sum=False)
             return x

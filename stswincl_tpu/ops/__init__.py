@@ -11,11 +11,15 @@ from stswincl_tpu.ops.pallas_block_attention import (
     windowed_attention_image,
     fused_swin_block_attention,
 )
+from stswincl_tpu.ops.pallas_add_layernorm import fused_add_layer_norm
+from stswincl_tpu.ops.pallas_add_ln_mlp import fused_add_ln_mlp
+from stswincl_tpu.ops.pallas_mlp import fused_mlp
 from stswincl_tpu.ops.resize import (
     resize_bilinear,
     resize_nearest,
     resize_bilinear_align_corners,
     upsample_bilinear_align_false,
+    upsample_argmax,
 )
 from stswincl_tpu.ops.ohem import (
     ohem_cross_entropy,

@@ -1,0 +1,154 @@
+"""Fused residual-add + LayerNorm + MLP — Pallas TPU kernel.
+
+Merges `pallas_add_layernorm.fused_add_layer_norm` (the block's first
+add+norm) into `pallas_mlp.fused_mlp`'s prologue: the swin block computes
+
+    x_sum  = shortcut + attn_out
+    mlp_in = norm2(x_sum)
+    out    = mlp(mlp_in)                       (fc1 -> GELU -> fc2)
+
+As two kernels, `mlp_in` makes a full HBM round trip (one write + one read
+of a (tokens, C) tensor per block — ~42 MB/block at stage-1 size, ~0.6 ms
+per clip across the 12 blocks). Here the normalized activations are
+computed once into VMEM scratch on the first hidden-block iteration and
+reused across the hidden-dim grid, so `mlp_in` never exists in HBM.
+
+Outputs (x_sum, mlp_out): the caller still needs x_sum as the next
+residual shortcut (reference norm order, `swin_512.py:234-235`).
+
+Differentiable via custom_vjp (backward = jax.vjp of the XLA reference,
+same pattern as the constituent kernels).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stswincl_tpu.ops.pallas_mlp import _gelu, mlp_ref, _pick_h_block
+from stswincl_tpu.ops.pallas_add_layernorm import _ln_math
+
+
+def _kernel(x_ref, y_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref,
+            b2_ref, sum_ref, out_ref, xn, acc, *, eps, gelu_exact):
+    """Grid (row_tiles, h_blocks), h innermost. On the first h block the
+    row tile's sum + LayerNorm are computed and cached in VMEM (`xn`);
+    every h block then contributes its fc2 partial into `acc`."""
+    hb_idx = pl.program_id(1)
+    n_hb = pl.num_programs(1)
+
+    @pl.when(hb_idx == 0)
+    def _():
+        s32 = x_ref[:].astype(jnp.float32) + y_ref[:].astype(jnp.float32)
+        sum_ref[:] = s32.astype(sum_ref.dtype)
+        mu = jnp.mean(s32, axis=-1, keepdims=True)
+        xc = s32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        n = xc * jax.lax.rsqrt(var + eps)
+        n = n * scale_ref[0].astype(jnp.float32) \
+            + bias_ref[0].astype(jnp.float32)
+        xn[:] = n.astype(xn.dtype)
+
+    h = jnp.dot(xn[:], w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = _gelu(h, gelu_exact)
+    part = jnp.dot(h.astype(xn.dtype), w2_ref[:],
+                   preferred_element_type=jnp.float32)
+
+    @pl.when(hb_idx == 0)
+    def _():
+        acc[:] = part + b2_ref[0].astype(jnp.float32)
+
+    @pl.when(hb_idx > 0)
+    def _():
+        acc[:] = acc[:] + part
+
+    @pl.when(hb_idx == n_hb - 1)
+    def _():
+        out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
+def _pick_row_tile(rows: int, C: int, hb: int, isz: int) -> int:
+    """x/y/sum/out tiles (x2 pipeline buffers) + xn + fp32 hidden + acc
+    within ~6MB (weights take up to ~8MB, headroom below 16)."""
+    budget = 6 * 1024 * 1024
+    per_row = 8 * C * isz + C * isz + hb * 4 + C * 4
+    for tk in (512, 256, 128, 64, 32, 16, 8):
+        if rows % tk == 0 and tk * per_row <= budget:
+            return tk
+    return 8
+
+
+def add_ln_mlp_ref(x, y, scale, bias, w1, b1, w2, b2, gelu_exact=True,
+                   eps=1e-5):
+    """XLA reference (and backward math): (x+y, mlp(LN(x+y)))."""
+    s32 = x.astype(jnp.float32) + y.astype(jnp.float32)
+    n = _ln_math(s32, scale, bias, eps).astype(x.dtype)
+    return s32.astype(x.dtype), mlp_ref(n, w1, b1, w2, b2, gelu_exact)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_add_ln_mlp(x, y, scale, bias, w1, b1, w2, b2, gelu_exact=True,
+                     eps=1e-5, interpret=False):
+    """(x + y, mlp(LayerNorm(x + y))) with the normalized activations kept
+    in VMEM. x/y: (..., C); returns (sum, mlp_out) of the same shape."""
+    *lead, C = x.shape
+    x2d = x.reshape(-1, C)
+    y2d = y.reshape(-1, C)
+    R = x2d.shape[0]
+    hidden = w1.shape[1]
+    isz = jnp.dtype(x.dtype).itemsize
+    hb = _pick_h_block(hidden, C, isz)
+    tk = _pick_row_tile(R, C, hb, isz)
+
+    row_spec = pl.BlockSpec((tk, C), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vec_c = pl.BlockSpec((1, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    s, out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps, gelu_exact=gelu_exact),
+        grid=(R // tk, hidden // hb),
+        in_specs=[
+            row_spec, row_spec, vec_c, vec_c,
+            pl.BlockSpec((C, hb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, C), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            vec_c,
+        ],
+        out_specs=(row_spec, row_spec),
+        out_shape=(jax.ShapeDtypeStruct(x2d.shape, x.dtype),
+                   jax.ShapeDtypeStruct(x2d.shape, x.dtype)),
+        scratch_shapes=[pltpu.VMEM((tk, C), x.dtype),
+                        pltpu.VMEM((tk, C), jnp.float32)],
+        interpret=interpret,
+    )(x2d, y2d, scale[None].astype(jnp.float32),
+      bias[None].astype(jnp.float32), w1.astype(x.dtype),
+      b1[None].astype(jnp.float32), w2.astype(x.dtype),
+      b2[None].astype(jnp.float32))
+    return s.reshape(*lead, C), out.reshape(*lead, C)
+
+
+def _fwd(x, y, scale, bias, w1, b1, w2, b2, gelu_exact, eps, interpret):
+    out = fused_add_ln_mlp(x, y, scale, bias, w1, b1, w2, b2, gelu_exact,
+                           eps, interpret)
+    return out, (x, y, scale, bias, w1, b1, w2, b2)
+
+
+def _bwd(gelu_exact, eps, interpret, res, g):
+    x, y, scale, bias, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda x_, y_, s_, b_, w1_, b1_, w2_, b2_: add_ln_mlp_ref(
+            x_, y_, s_, b_, w1_, b1_, w2_, b2_, gelu_exact, eps),
+        x, y, scale, bias, w1, b1, w2, b2)
+    grads = vjp(g)
+    return tuple(gr.astype(r.dtype) for gr, r in
+                 zip(grads, (x, y, scale, bias, w1, b1, w2, b2)))
+
+
+fused_add_ln_mlp.defvjp(_fwd, _bwd)

@@ -30,7 +30,7 @@ from stswincl_tpu.models.resnet import ResNet18OS8
 from stswincl_tpu.models.swin import SwinTemporalStack
 from stswincl_tpu.models.aspp import ASPP
 from stswincl_tpu.models.stswin import ProjectBNRelu, Classifier
-from stswincl_tpu.ops.resize import resize_bilinear, resize_bilinear_align_corners
+from stswincl_tpu.ops.resize import resize_bilinear, upsample_argmax
 
 
 class _Backbone(nn.Module):
@@ -114,9 +114,8 @@ class StreamingSegmenter:
             new_feat = backbone.apply(bb_vars, frame)  # (B, h8, w8, C)
             cache = jnp.concatenate([cache[:, 1:], new_feat[:, None]], axis=1)
             logits = head.apply(head_vars, cache)
-            if out_hw is not None:
-                logits = resize_bilinear_align_corners(logits, *out_hw)
-            return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            hw = out_hw if out_hw is not None else logits.shape[1:3]
+            return cache, upsample_argmax(logits, *hw)
 
         self._init_cache_fn = _init_cache
         self._step_fn = _step

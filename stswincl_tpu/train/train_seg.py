@@ -25,7 +25,6 @@ from stswincl_tpu.ops.ohem import (
     ohem_cross_entropy_channels_first,
     per_pixel_ce_channels_first,
 )
-from stswincl_tpu.ops.resize import resize_bilinear_align_corners
 
 
 class SegTrainState(struct.PyTreeNode):
@@ -151,19 +150,16 @@ def make_seg_eval_step(model, out_hw: Optional[Tuple[int, int]] = None,
     (`seg18/test.py:155`); CaDIS with align_corners=False
     (`segcata/cata_test.py:129`) — pass the matching flag.
     """
-    from stswincl_tpu.ops.resize import resize_bilinear
+    from stswincl_tpu.ops.resize import upsample_argmax
 
     @jax.jit
     def eval_step(params, batch_stats, images):
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images, train=False)
-        if out_hw is not None:
-            if align_corners:
-                logits = resize_bilinear_align_corners(logits, *out_hw)
-            else:
-                logits = resize_bilinear(logits.astype(jnp.float32), *out_hw)
-        # softmax then argmax == argmax of logits, kept for parity clarity
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        hw = out_hw if out_hw is not None else logits.shape[-3:-1]
+        # softmax then argmax == argmax of logits; the fused channels-first
+        # upsample avoids the 10.7x lane-padding blowup of NHWC C=classes
+        return upsample_argmax(logits, *hw, align_corners=align_corners)
 
     return eval_step

@@ -71,6 +71,27 @@ def test_align_corners_resize_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(ours), want, rtol=1e-5, atol=1e-5)
 
 
+def test_upsample_argmax_matches_reference_path(rng):
+    """Fused channels-first upsample+argmax == NHWC resize then argmax,
+    both align modes (it exists purely to dodge the lane-padding blowup)."""
+    from stswincl_tpu.ops.resize import upsample_argmax, resize_bilinear
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 20, 12)).astype(np.float32))
+    got = upsample_argmax(x, 64, 80, align_corners=True)
+    want = jnp.argmax(resize_bilinear_align_corners(x, 64, 80), axis=-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert got.dtype == jnp.int32
+
+    got_f = upsample_argmax(x, 64, 80, align_corners=False)
+    want_f = jnp.argmax(resize_bilinear(x, 64, 80), axis=-1)
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+    # no-resize case
+    same = upsample_argmax(x, 16, 20)
+    np.testing.assert_array_equal(np.asarray(same),
+                                  np.asarray(jnp.argmax(x, -1)))
+
+
 def test_nearest_resize_matches_torch(rng):
     from stswincl_tpu.ops import resize_nearest
     x = rng.integers(0, 12, size=(1, 64, 80, 1)).astype(np.float32)

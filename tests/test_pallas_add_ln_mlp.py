@@ -1,0 +1,92 @@
+"""Fused add+LN+MLP kernel: interpret parity, grads, block routing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stswincl_tpu.ops.pallas_add_ln_mlp import (
+    fused_add_ln_mlp,
+    add_ln_mlp_ref,
+)
+
+
+def _params(rng, C=64, hidden=256, rows=96):
+    x = jnp.asarray(rng.standard_normal((2, rows, C)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((2, rows, C)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1 + 1.0)
+    b = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.standard_normal((C, hidden)).astype(np.float32) * .05)
+    b1 = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * .05)
+    w2 = jnp.asarray(rng.standard_normal((hidden, C)).astype(np.float32) * .05)
+    b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * .05)
+    return x, y, s, b, w1, b1, w2, b2
+
+
+def test_forward_matches_ref(rng):
+    args = _params(rng)
+    for exact in (True, False):
+        gs, go = fused_add_ln_mlp(*args, exact, 1e-5, True)
+        ws, wo = add_ln_mlp_ref(*args, exact)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(ws),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(go), np.asarray(wo),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_hidden_blocking(rng):
+    # hidden 512 with C=32 -> multiple h-block accumulation steps
+    args = _params(rng, C=32, hidden=512)
+    gs, go = fused_add_ln_mlp(*args, True, 1e-5, True)
+    ws, wo = add_ln_mlp_ref(*args, True)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(wo),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grads_match_ref(rng):
+    args = _params(rng, C=32, hidden=128, rows=32)
+
+    def loss_fused(*a):
+        s, o = fused_add_ln_mlp(*a, True, 1e-5, True)
+        return jnp.sum(jnp.sin(s)) + jnp.sum(o * o)
+
+    def loss_ref(*a):
+        s, o = add_ln_mlp_ref(*a, True)
+        return jnp.sum(jnp.sin(s)) + jnp.sum(o * o)
+
+    g_f = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_block_routes_fused_epilogue(rng, monkeypatch):
+    """Forced-TPU routing (einsum attention, interpret kernels):
+    SpaceTimeSwinBlock == the pure-flax path on identical params."""
+    from stswincl_tpu.models.swin import SpaceTimeSwinBlock
+    import stswincl_tpu.ops.pallas_add_ln_mlp as kmod
+    import stswincl_tpu.ops.pallas_add_layernorm as lnmod
+    import stswincl_tpu.ops.pallas_attention as attnmod
+
+    block = SpaceTimeSwinBlock(32, (16, 16), 4, window_size=8, shift_size=4,
+                               attn_impl="einsum")
+    x = jnp.asarray(rng.standard_normal((1, 2, 256, 32)).astype(np.float32))
+    variables = block.init(jax.random.key(0), x)
+    want = block.apply(variables, x)
+
+    orig_k = kmod.fused_add_ln_mlp
+    orig_ln = lnmod.fused_add_layer_norm
+    monkeypatch.setattr(
+        kmod, "fused_add_ln_mlp",
+        lambda x, y, s, b, w1, b1, w2, b2, ge=True, eps=1e-5, it=False:
+        orig_k(x, y, s, b, w1, b1, w2, b2, ge, eps, True))
+    monkeypatch.setattr(
+        lnmod, "fused_add_layer_norm",
+        lambda *a, **k: orig_ln(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(attnmod, "_is_tpu_backend", lambda: True)
+
+    got = block.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)

@@ -50,21 +50,22 @@ def test_grads_match_ref(rng):
                                    rtol=1e-3, atol=1e-4)
 
 
-def test_full_stack_with_fused_mlp_matches_flax(rng):
-    from stswincl_tpu.models import SwinTemporalStack
+def test_mlp_module_routes_fused_kernel(rng):
+    """The standalone Mlp module (off-block consumer surface) routes to
+    fused_mlp under a TPU backend and matches the flax path. (The swin
+    block now fuses the MLP with its add+LN prologue instead —
+    tests/test_pallas_add_ln_mlp.py / test_add_layernorm.py.)"""
+    from stswincl_tpu.models.swin import Mlp
     import stswincl_tpu.ops.pallas_attention as pa
     import stswincl_tpu.ops.pallas_mlp as pm
-    import stswincl_tpu.ops.pallas_add_layernorm as paln
 
-    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16, 32)).astype(np.float32))
-    m = SwinTemporalStack(dim=32, input_resolution=(16, 16), num_heads=4,
-                          attn_impl="einsum")
+    x = jnp.asarray(rng.standard_normal((2, 48, 32)).astype(np.float32))
+    m = Mlp(hidden=128, out=32)
     v = m.init(jax.random.key(0), x)
-    s1_e, s2_e = m.apply(v, x)
+    want = m.apply(v, x)
 
     mlp_calls = []
     orig_mlp = pm.fused_mlp
-    orig_faln = paln.fused_add_layer_norm
 
     def forced_mlp(x, w1, b1, w2, b2, gelu_exact=True, interpret=False):
         mlp_calls.append(1)
@@ -72,18 +73,12 @@ def test_full_stack_with_fused_mlp_matches_flax(rng):
 
     saved = pa._is_tpu_backend
     pm.fused_mlp = forced_mlp
-    paln.fused_add_layer_norm = (
-        lambda x, y, s, b, eps=1e-5, return_sum=True, interpret=False:
-        orig_faln(x, y, s, b, eps, return_sum, True))
     pa._is_tpu_backend = lambda: True
     try:
-        s1_p, s2_p = m.apply(v, x)
+        got = m.apply(v, x)
     finally:
         pm.fused_mlp = orig_mlp
-        paln.fused_add_layer_norm = orig_faln
         pa._is_tpu_backend = saved
-    assert len(mlp_calls) == 12
-    np.testing.assert_allclose(np.asarray(s1_p), np.asarray(s1_e),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(s2_p), np.asarray(s2_e),
+    assert len(mlp_calls) == 1
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
