@@ -303,27 +303,24 @@ class SpaceTimeSwinBlock(nn.Module):
         xo = xo.reshape(B, T, L, C)
 
         # --- reference's nonstandard residual/norm order (`:234-235`) ---
-        # On TPU the whole epilogue runs as TWO kernels: (shortcut + attn ->
-        # norm2 -> fc1 -> GELU -> fc2) with the normalized activations kept
-        # in VMEM (pallas_add_ln_mlp — the separate add+LN kernel made
-        # `mlp_in` round-trip HBM, ~42 MB/block), then the final add+norm1.
-        # A STANDALONE LN kernel measured slower (it orphans the adds XLA
-        # had fused); subsuming the adds is what wins. Off-TPU keeps flax.
+        # On TPU the whole post-attention tail is ONE kernel:
+        # LN1(sum + mlp(LN2(sum))) with sum = shortcut + attn kept in fp32
+        # VMEM (pallas_add_ln_mlp.fused_swin_block_epilogue). Neither the
+        # residual sum, the normalized mlp input, nor the mlp output ever
+        # exist in HBM — Pallas elementwise passes measured ~220 GB/s (vs
+        # ~457 for XLA fusions), so minimizing PASSES dominates every other
+        # elementwise consideration. Off-TPU keeps the flax path.
         from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
         if _is_tpu_backend():
-            from stswincl_tpu.ops.pallas_add_layernorm import (
-                fused_add_layer_norm)
-            from stswincl_tpu.ops.pallas_add_ln_mlp import fused_add_ln_mlp
+            from stswincl_tpu.ops.pallas_add_ln_mlp import (
+                fused_swin_block_epilogue)
             s2, b2 = _NormParams(self.dim, name="norm2")()
             s1, b1 = _NormParams(self.dim, name="norm1")()
             w1, bw1, w2, bw2 = _MlpParams(
                 self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
-            x_sum, mlp_out = fused_add_ln_mlp(
+            return fused_swin_block_epilogue(
                 shortcut.astype(self.dtype), xo.astype(self.dtype), s2, b2,
-                w1, bw1, w2, bw2, self.gelu_exact)
-            _, x = fused_add_layer_norm(
-                x_sum, mlp_out.astype(self.dtype), s1, b1, return_sum=False)
-            return x
+                w1, bw1, w2, bw2, s1, b1, self.gelu_exact)
         x = shortcut + xo  # no pre-norm on the attention branch
         mlp_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim,

@@ -152,3 +152,144 @@ def _bwd(gelu_exact, eps, interpret, res, g):
 
 
 fused_add_ln_mlp.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# whole-epilogue kernel: LN1(sum + mlp(LN2(sum))), sum = shortcut + attn
+# ---------------------------------------------------------------------------
+
+def _epilogue_kernel(x_ref, y_ref, s2_ref, b2_ref, w1_ref, b1_ref, w2_ref,
+                     bw2_ref, s1_ref, b1n_ref, out_ref, xn, sum32, acc, *,
+                     eps, gelu_exact):
+    """Grid (row_tiles, h_blocks), h innermost. The residual sum lives only
+    in fp32 VMEM scratch; the final add+norm1 happens in-register on the
+    last h block, so the ONLY HBM tensors are the two inputs and the block
+    output (the two-kernel form round-tripped sum and mlp_out: measured
+    ~220 GB/s per Pallas elementwise pass makes every extra pass ~2x the
+    cost XLA fusion would pay)."""
+    hb_idx = pl.program_id(1)
+    n_hb = pl.num_programs(1)
+
+    @pl.when(hb_idx == 0)
+    def _():
+        s32 = x_ref[:].astype(jnp.float32) + y_ref[:].astype(jnp.float32)
+        sum32[:] = s32
+        mu = jnp.mean(s32, axis=-1, keepdims=True)
+        xc = s32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        n = xc * jax.lax.rsqrt(var + eps)
+        n = n * s2_ref[0].astype(jnp.float32) + b2_ref[0].astype(jnp.float32)
+        xn[:] = n.astype(xn.dtype)
+
+    h = jnp.dot(xn[:], w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = _gelu(h, gelu_exact)
+    part = jnp.dot(h.astype(xn.dtype), w2_ref[:],
+                   preferred_element_type=jnp.float32)
+
+    @pl.when(hb_idx == 0)
+    def _():
+        acc[:] = part + bw2_ref[0].astype(jnp.float32)
+
+    @pl.when(hb_idx > 0)
+    def _():
+        acc[:] = acc[:] + part
+
+    @pl.when(hb_idx == n_hb - 1)
+    def _():
+        s32 = sum32[:] + acc[:]
+        mu = jnp.mean(s32, axis=-1, keepdims=True)
+        xc = s32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        n = xc * jax.lax.rsqrt(var + eps)
+        n = n * s1_ref[0].astype(jnp.float32) + b1n_ref[0].astype(jnp.float32)
+        out_ref[:] = n.astype(out_ref.dtype)
+
+
+def _pick_row_tile_epi(rows: int, C: int, hb: int, isz: int) -> int:
+    """x/y/out tiles (x2 pipeline buffers) + xn + fp32 sum + hidden + acc
+    within ~6MB."""
+    budget = 6 * 1024 * 1024
+    per_row = 6 * C * isz + C * isz + C * 4 + hb * 4 + C * 4
+    for tk in (512, 256, 128, 64, 32, 16, 8):
+        if rows % tk == 0 and tk * per_row <= budget:
+            return tk
+    return 8
+
+
+def swin_block_epilogue_ref(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n,
+                            gelu_exact=True, eps=1e-5):
+    """XLA reference (and backward math): LN1(sum + mlp(LN2(sum))).
+
+    Matches the reference block tail (`swin_512.py:234-235`):
+        x = shortcut + attn_out
+        x = norm1(x + mlp(norm2(x)))
+    with the sum kept in fp32 (the bf16 model path rounds it once; the
+    fused kernel's extra precision is strictly closer to the fp32 math).
+    """
+    s32 = x.astype(jnp.float32) + y.astype(jnp.float32)
+    n2 = _ln_math(s32, s2, b2, eps).astype(x.dtype)
+    m = mlp_ref(n2, w1, b1, w2, bw2, gelu_exact)
+    out32 = s32 + m.astype(jnp.float32)
+    return _ln_math(out32, s1, b1n, eps).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def fused_swin_block_epilogue(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n,
+                              gelu_exact=True, eps=1e-5, interpret=False):
+    """The swin block's full post-attention tail in ONE kernel:
+    out = LN1((x + y) + mlp(LN2(x + y))). x/y: (..., C)."""
+    *lead, C = x.shape
+    x2d = x.reshape(-1, C)
+    y2d = y.reshape(-1, C)
+    R = x2d.shape[0]
+    hidden = w1.shape[1]
+    isz = jnp.dtype(x.dtype).itemsize
+    hb = _pick_h_block(hidden, C, isz)
+    tk = _pick_row_tile_epi(R, C, hb, isz)
+
+    row_spec = pl.BlockSpec((tk, C), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vec_c = pl.BlockSpec((1, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_epilogue_kernel, eps=eps, gelu_exact=gelu_exact),
+        grid=(R // tk, hidden // hb),
+        in_specs=[
+            row_spec, row_spec, vec_c, vec_c,
+            pl.BlockSpec((C, hb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, C), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            vec_c, vec_c, vec_c,
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((tk, C), x.dtype),
+                        pltpu.VMEM((tk, C), jnp.float32),
+                        pltpu.VMEM((tk, C), jnp.float32)],
+        interpret=interpret,
+    )(x2d, y2d, s2[None].astype(jnp.float32), b2[None].astype(jnp.float32),
+      w1.astype(x.dtype), b1[None].astype(jnp.float32), w2.astype(x.dtype),
+      bw2[None].astype(jnp.float32), s1[None].astype(jnp.float32),
+      b1n[None].astype(jnp.float32))
+    return out.reshape(*lead, C)
+
+
+def _epi_fwd(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, gelu_exact, eps,
+             interpret):
+    out = fused_swin_block_epilogue(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n,
+                                    gelu_exact, eps, interpret)
+    return out, (x, y, s2, b2, w1, b1, w2, bw2, s1, b1n)
+
+
+def _epi_bwd(gelu_exact, eps, interpret, res, g):
+    args = res
+    _, vjp = jax.vjp(
+        lambda *a: swin_block_epilogue_ref(*a, gelu_exact, eps), *args)
+    grads = vjp(g)
+    return tuple(gr.astype(r.dtype) for gr, r in zip(grads, args))
+
+
+fused_swin_block_epilogue.defvjp(_epi_fwd, _epi_bwd)

@@ -76,34 +76,26 @@ def test_block_with_fused_ln_matches_flax_path(rng):
 
     import stswincl_tpu.ops.pallas_add_ln_mlp as pam
 
-    orig_faln = paln.fused_add_layer_norm
-    orig_alm = pam.fused_add_ln_mlp
-    calls = []
-    alm_calls = []
+    orig_epi = pam.fused_swin_block_epilogue
+    epi_calls = []
 
-    def forced_faln(x, y, s, b, eps=1e-5, return_sum=True, interpret=False):
-        calls.append(1)
-        return orig_faln(x, y, s, b, eps, return_sum, True)
-
-    def forced_alm(x, y, s, b, w1, b1, w2, b2, gelu_exact=True, eps=1e-5,
-                   interpret=False):
-        alm_calls.append(1)
-        return orig_alm(x, y, s, b, w1, b1, w2, b2, gelu_exact, eps, True)
+    def forced_epi(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, gelu_exact=True,
+                   eps=1e-5, interpret=False):
+        epi_calls.append(1)
+        return orig_epi(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, gelu_exact,
+                        eps, True)
 
     saved_backend = pa._is_tpu_backend
-    paln.fused_add_layer_norm = forced_faln
-    pam.fused_add_ln_mlp = forced_alm
+    pam.fused_swin_block_epilogue = forced_epi
     pa._is_tpu_backend = lambda: True
     try:
-        # attn stays einsum (explicit); the add+LN+MLP prologue and the
-        # final add+norm take the fused paths
+        # attn stays einsum (explicit); the whole post-attention tail takes
+        # the single fused epilogue kernel
         s1_p, s2_p = m.apply(v, x)
     finally:
-        paln.fused_add_layer_norm = orig_faln
-        pam.fused_add_ln_mlp = orig_alm
+        pam.fused_swin_block_epilogue = orig_epi
         pa._is_tpu_backend = saved_backend
-    assert len(alm_calls) == 12   # one fused add+LN+MLP per block
-    assert len(calls) == 12       # one final fused add+norm per block
+    assert len(epi_calls) == 12   # one fused epilogue per block
     np.testing.assert_allclose(np.asarray(s1_p), np.asarray(s1_e),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s2_p), np.asarray(s2_e),

@@ -62,12 +62,52 @@ def test_grads_match_ref(rng):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_epilogue_forward_matches_ref(rng):
+    from stswincl_tpu.ops.pallas_add_ln_mlp import (
+        fused_swin_block_epilogue, swin_block_epilogue_ref)
+
+    x, y, s, b, w1, b1, w2, b2 = _params(rng)
+    s1 = jnp.asarray(rng.standard_normal(64).astype(np.float32) * 0.1 + 1.0)
+    b1n = jnp.asarray(rng.standard_normal(64).astype(np.float32) * 0.1)
+    for exact in (True, False):
+        got = fused_swin_block_epilogue(x, y, s, b, w1, b1, w2, b2, s1, b1n,
+                                        exact, 1e-5, True)
+        want = swin_block_epilogue_ref(x, y, s, b, w1, b1, w2, b2, s1, b1n,
+                                       exact)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_epilogue_hidden_blocking_and_grads(rng):
+    from stswincl_tpu.ops.pallas_add_ln_mlp import (
+        fused_swin_block_epilogue, swin_block_epilogue_ref)
+
+    x, y, s, b, w1, b1, w2, b2 = _params(rng, C=32, hidden=512, rows=32)
+    s1 = jnp.asarray(rng.standard_normal(32).astype(np.float32) * 0.1 + 1.0)
+    b1n = jnp.asarray(rng.standard_normal(32).astype(np.float32) * 0.1)
+    args = (x, y, s, b, w1, b1, w2, b2, s1, b1n)
+
+    got = fused_swin_block_epilogue(*args, True, 1e-5, True)
+    want = swin_block_epilogue_ref(*args, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    g_f = jax.grad(lambda *a: jnp.sum(
+        fused_swin_block_epilogue(*a, True, 1e-5, True) ** 2),
+        argnums=tuple(range(10)))(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(
+        swin_block_epilogue_ref(*a, True) ** 2),
+        argnums=tuple(range(10)))(*args)
+    for a, b_ in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_block_routes_fused_epilogue(rng, monkeypatch):
     """Forced-TPU routing (einsum attention, interpret kernels):
     SpaceTimeSwinBlock == the pure-flax path on identical params."""
     from stswincl_tpu.models.swin import SpaceTimeSwinBlock
     import stswincl_tpu.ops.pallas_add_ln_mlp as kmod
-    import stswincl_tpu.ops.pallas_add_layernorm as lnmod
     import stswincl_tpu.ops.pallas_attention as attnmod
 
     block = SpaceTimeSwinBlock(32, (16, 16), 4, window_size=8, shift_size=4,
@@ -76,15 +116,12 @@ def test_block_routes_fused_epilogue(rng, monkeypatch):
     variables = block.init(jax.random.key(0), x)
     want = block.apply(variables, x)
 
-    orig_k = kmod.fused_add_ln_mlp
-    orig_ln = lnmod.fused_add_layer_norm
+    orig_epi = kmod.fused_swin_block_epilogue
     monkeypatch.setattr(
-        kmod, "fused_add_ln_mlp",
-        lambda x, y, s, b, w1, b1, w2, b2, ge=True, eps=1e-5, it=False:
-        orig_k(x, y, s, b, w1, b1, w2, b2, ge, eps, True))
-    monkeypatch.setattr(
-        lnmod, "fused_add_layer_norm",
-        lambda *a, **k: orig_ln(*a, **{**k, "interpret": True}))
+        kmod, "fused_swin_block_epilogue",
+        lambda x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, ge=True, eps=1e-5,
+        it=False: orig_epi(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, ge, eps,
+                           True))
     monkeypatch.setattr(attnmod, "_is_tpu_backend", lambda: True)
 
     got = block.apply(variables, x)
