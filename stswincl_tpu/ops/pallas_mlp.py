@@ -84,8 +84,14 @@ def mlp_ref(x, w1, b1, w2, b2, gelu_exact=True):
 
 
 def _pick_h_block(hidden: int, C: int, isz: int) -> int:
-    """Weight blocks (C, hb)+(hb, C) are double-buffered: keep their total
+    """Pick the hidden-dim block. Preference: the WHOLE hidden dim in one
+    block — with a single h iteration the weight blocks have constant index
+    maps (fetched once, single-buffered) and the fp32 accumulator never
+    round-trips VMEM between grid steps (trace-measured win at stage-1
+    size). Otherwise weight blocks stream double-buffered: keep their total
     under ~8MB of the 16MB VMEM (dtype-aware)."""
+    if 2 * isz * C * hidden <= 10 * 1024 * 1024:
+        return hidden
     budget = 8 * 1024 * 1024
     for hb in (2048, 1024, 512, 256, 128):
         if hidden % hb == 0 and 2 * 2 * isz * C * hb <= budget:
