@@ -77,26 +77,68 @@ def main():
     print(f"device-chained throughput bs=1: {bs1_fps:.2f} fps",
           file=sys.stderr)
 
-    # headline: batched serving throughput (frames/sec/chip at bs=8) — the
-    # per-chip serving number BASELINE.json's ">5x frames/sec/chip" targets
-    bs8_fps = None
+    # headline: batched serving throughput (frames/sec/chip, best batch) —
+    # the per-chip serving number BASELINE.json's ">5x frames/sec/chip"
+    # targets; a serving deployment picks the throughput-optimal batch
+    best_bs, best_fps = None, None
+    for bs in (8, 16):
+        try:
+            clipb = jnp.asarray(
+                rng.random((bs, 4, 512, 640, 3), dtype=np.float32))
+            float(chained(variables, clipb))
+            best = np.inf
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(chained(variables, clipb))
+                best = min(best, time.perf_counter() - t0)
+            fps = bs * N_CHAIN / best
+            print(f"device-chained throughput bs={bs}: "
+                  f"{fps:.2f} frames/sec/chip", file=sys.stderr)
+            if best_fps is None or fps > best_fps:
+                best_bs, best_fps = bs, fps
+        except Exception as e:  # memory/compile limits must not kill the bench
+            print(f"bs={bs} probe skipped: {e}", file=sys.stderr)
+
+    # bonus (stderr only): steady-state streaming video serving — the
+    # backbone feature cache makes each new frame cost ONE backbone pass
+    # (numerics identical to the full-clip forward, tests/test_streaming.py)
     try:
-        clip8 = jnp.asarray(rng.random((8, 4, 512, 640, 3), dtype=np.float32))
-        float(chained(variables, clip8))
+        from stswincl_tpu.pipelines.streaming import StreamingSegmenter
+
+        seg = StreamingSegmenter(model, variables, out_hw=(1024, 1280))
+        frames8 = jnp.asarray(
+            rng.random((8, 512, 640, 3), dtype=np.float32))
+        cache = seg.init_cache(
+            jnp.asarray(rng.random((8, 4, 512, 640, 3), dtype=np.float32)))
+
+        @jax.jit
+        def stream_chain(bb_vars, head_vars, cache, frame):
+            def body(carry, _):
+                c, checksum = carry
+                c, pred = seg._step_fn(bb_vars, head_vars, c,
+                                       frame + checksum * 1e-12)
+                return (c, jnp.sum(pred).astype(jnp.float32)), ()
+
+            (c, s), _ = jax.lax.scan(
+                body, (cache, jnp.float32(0.0)), None, length=N_CHAIN)
+            return s
+
+        args = (seg._bb_vars, seg._head_vars, cache, frames8)
+        float(stream_chain(*args))
         best = np.inf
         for _ in range(2):
             t0 = time.perf_counter()
-            float(chained(variables, clip8))
+            float(stream_chain(*args))
             best = min(best, time.perf_counter() - t0)
-        bs8_fps = 8 * N_CHAIN / best
-        print(f"device-chained throughput bs=8: "
-              f"{bs8_fps:.2f} frames/sec/chip", file=sys.stderr)
-    except Exception as e:  # memory or compile limits must not kill the bench
-        print(f"bs=8 probe skipped: {e}", file=sys.stderr)
+        print(f"streaming steady-state (bs=8 video, cached backbone): "
+              f"{8 * N_CHAIN / best:.2f} frames/sec/chip", file=sys.stderr)
+    except Exception as e:
+        print(f"streaming probe skipped: {e}", file=sys.stderr)
 
-    if bs8_fps is not None:
-        headline = {"metric": "endovis18_infer_fps_512x640_bs8_per_chip",
-                    "value": round(bs8_fps, 3)}
+    if best_fps is not None:
+        headline = {"metric":
+                    f"endovis18_infer_fps_512x640_bs{best_bs}_per_chip",
+                    "value": round(best_fps, 3)}
     else:
         headline = {"metric": "endovis18_infer_fps_512x640_bs1",
                     "value": round(bs1_fps, 3)}

@@ -100,17 +100,20 @@ class StreamingSegmenter:
         backbone = _Backbone(model.swin_dim, model.dtype)
         head = _Head(model.num_classes, model.swin_dim, model.num_heads,
                      model.attn_impl, model.dtype)
-        bb_vars = _split_variables(variables, ("resnet",))
-        head_vars = _split_variables(variables, self.HEAD_KEYS)
+        self._bb_vars = _split_variables(variables, ("resnet",))
+        self._head_vars = _split_variables(variables, self.HEAD_KEYS)
 
+        # variables are ARGUMENTS, not closures: closed-over param trees
+        # are baked into the HLO as literals (~240MB compile payload for
+        # the full model — rejected by the remote-compile relay with 413)
         @jax.jit
-        def _init_cache(clip):
+        def _init_cache(bb_vars, clip):
             B, T, H, W, C = clip.shape
             feats = backbone.apply(bb_vars, clip.reshape(B * T, H, W, C))
             return feats.reshape(B, T, *feats.shape[1:])
 
         @jax.jit
-        def _step(cache, frame):
+        def _step(bb_vars, head_vars, cache, frame):
             new_feat = backbone.apply(bb_vars, frame)  # (B, h8, w8, C)
             cache = jnp.concatenate([cache[:, 1:], new_feat[:, None]], axis=1)
             logits = head.apply(head_vars, cache)
@@ -122,9 +125,9 @@ class StreamingSegmenter:
 
     def init_cache(self, clip: jnp.ndarray):
         """Warm the cache with a full (B, T, H, W, 3) clip."""
-        return self._init_cache_fn(clip)
+        return self._init_cache_fn(self._bb_vars, clip)
 
     def predict_next(self, cache, frame: jnp.ndarray):
         """Advance the stream by one (B, H, W, 3) frame; returns
         (new_cache, prediction)."""
-        return self._step_fn(cache, frame)
+        return self._step_fn(self._bb_vars, self._head_vars, cache, frame)
