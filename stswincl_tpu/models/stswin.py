@@ -140,11 +140,13 @@ class TswinPlus(nn.Module):
             # training-loss layout: keep the (small) class axis OUT of the
             # lane dimension — NHWC fp32 logits at full resolution pad
             # num_classes -> 128 lanes (measured 10.7x HBM expansion);
-            # transposing at feature resolution first is nearly free.
-            import jax
+            # transposing at feature resolution first is nearly free. The
+            # upsample runs as interpolation-matrix matmuls so forward AND
+            # backward are MXU contractions (the gather-based resize's
+            # transpose measured ~40 ms/step in the training trace).
+            from stswincl_tpu.ops.resize import resize_bilinear_cf_matmul
             lcf = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
-            return jax.image.resize(lcf, (B, lcf.shape[1], H, W),
-                                    method="bilinear", antialias=False)
+            return resize_bilinear_cf_matmul(lcf, H, W)
         logits = resize_bilinear(logits.astype(jnp.float32), H, W)
         return logits
 

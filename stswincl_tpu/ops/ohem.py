@@ -98,10 +98,17 @@ def per_pixel_ce_channels_first(
     """Per-pixel CE map from (B, C, H, W) logits via reductions over axis 1
     (no (..., C)-minor intermediates); ignored pixels contribute 0."""
     lf = logits_cf.astype(jnp.float32)
+    C = lf.shape[1]
     m = jnp.max(lf, axis=1)
     lse = m + jnp.log(jnp.sum(jnp.exp(lf - m[:, None]), axis=1))
 
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
-    picked = jnp.take_along_axis(lf, safe[:, None], axis=1)[:, 0]
+    # label-class pick as a one-hot masked reduction, NOT take_along_axis:
+    # a per-pixel gather over 2.6M indices lowered to a 40 ms/step custom
+    # fusion in the training trace (~1.6 GB/s effective); the comparison +
+    # multiply + sum fuses into one vectorized pass over the logits
+    class_ids = jnp.arange(C, dtype=jnp.int32).reshape(1, C, 1, 1)
+    picked = jnp.sum(
+        jnp.where(safe[:, None] == class_ids, lf, 0.0), axis=1)
     return jnp.where(valid, lse - picked, 0.0)

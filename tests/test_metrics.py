@@ -71,6 +71,23 @@ def test_align_corners_resize_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(ours), want, rtol=1e-5, atol=1e-5)
 
 
+def test_resize_cf_matmul_matches_gather_resize(rng):
+    """Matrix-form channels-first resize == jax.image.resize == torch
+    F.interpolate(align_corners=False)."""
+    import jax
+    from stswincl_tpu.ops.resize import resize_bilinear_cf_matmul
+
+    x = rng.standard_normal((2, 5, 16, 20)).astype(np.float32)
+    got = resize_bilinear_cf_matmul(jnp.asarray(x), 128, 160)
+    want_jax = jax.image.resize(jnp.asarray(x), (2, 5, 128, 160),
+                                method="bilinear", antialias=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_jax),
+                               rtol=1e-5, atol=1e-5)
+    want_t = F.interpolate(torch.from_numpy(x), (128, 160), mode="bilinear",
+                           align_corners=False).numpy()
+    np.testing.assert_allclose(np.asarray(got), want_t, rtol=1e-5, atol=1e-5)
+
+
 def test_upsample_argmax_matches_reference_path(rng):
     """Fused channels-first upsample+argmax == NHWC resize then argmax,
     both align modes (it exists purely to dodge the lane-padding blowup)."""
