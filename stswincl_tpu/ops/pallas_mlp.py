@@ -75,11 +75,19 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, acc, *,
 
 
 def mlp_ref(x, w1, b1, w2, b2, gelu_exact=True):
-    """XLA reference (and backward math)."""
-    h = jnp.dot(x.astype(jnp.float32), w1.astype(jnp.float32))
+    """XLA reference (and backward math). Matmul inputs stay in x.dtype
+    with fp32 accumulation — exactly the kernel's numerics, and (being the
+    custom-VJP backward math) it keeps the training backward on bf16 MXU
+    throughput: the fp32-upcast form measured its wgrad fusions at ~30%
+    MFU in the stage-1 train trace (fp32 runs the MXU at half rate). The
+    reference trains under torch.cuda.amp, so bf16 backward matmuls are
+    also the parity-faithful choice (`seg18/train_swin.py:5-6,160-173`)."""
+    h = jnp.dot(x, w1.astype(x.dtype), preferred_element_type=jnp.float32)
     h = h + b1.astype(jnp.float32)
     h = jax.nn.gelu(h, approximate=not gelu_exact)
-    out = jnp.dot(h, w2.astype(jnp.float32)) + b2.astype(jnp.float32)
+    out = jnp.dot(h.astype(x.dtype), w2.astype(x.dtype),
+                  preferred_element_type=jnp.float32)
+    out = out + b2.astype(jnp.float32)
     return out.astype(x.dtype)
 
 
