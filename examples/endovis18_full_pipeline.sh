@@ -21,6 +21,8 @@ python -m stswincl_tpu.cli train-seg \
     ckpt_dir=$OUT/stage1 log_dir=$OUT/stage1/logs
 
 # stage 2 — inter-video contrastive pretraining, pixpro_swin_ver.sh:9-40
+# (optional: add data.rand_augment=rand-m9-mstd0.5 for the RandAugment
+#  menu the reference ships unwired)
 python -m stswincl_tpu.cli pretrain-contrast \
     data.root=$DATA data.batch_size=4 "data.crop_hw=(256,448)" \
     base_lr=1.0 weight_decay=1e-5 warmup_epochs=5 num_epochs=150 \
