@@ -64,6 +64,29 @@ def test_ohem_jit_static(rng):
     assert np.isfinite(float(v))
 
 
+def test_ohem_select_matches_sort_oracle(rng):
+    """The sort-free selection (bit-bisection order statistic) must equal
+    the sort transcription bitwise-ish, including heavy ties at the k-th
+    value and at the threshold."""
+    from stswincl_tpu.ops.ohem import _ohem_select, _ohem_select_sort
+
+    t = math.log(1.0 / 0.7)
+    cases = [
+        rng.random(4096).astype(np.float32) * 3.0,            # generic
+        np.repeat(rng.random(32).astype(np.float32), 128),    # massive ties
+        np.zeros(4096, np.float32),                           # all zero
+        np.full(4096, t, np.float32),                         # all == thresh
+        np.concatenate([np.full(100, 5.0, np.float32),        # hard block
+                        np.zeros(3996, np.float32)]),
+    ]
+    for loss in cases:
+        for n_min in (1, 100, 512, 4000):
+            a = float(_ohem_select(jnp.asarray(loss), n_min, 0.7))
+            b = float(_ohem_select_sort(jnp.asarray(loss), n_min, 0.7))
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7), (
+                loss[:4], n_min)
+
+
 def test_ohem_channels_first_matches_nhwc(rng):
     from stswincl_tpu.ops.ohem import ohem_cross_entropy_channels_first
 
