@@ -155,14 +155,20 @@ def windowed_attention_image(qkv, bias_tiled, mask_tiled, heads, scale, ws,
 
 
 def _full_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
-                 mask_ref, out_ref, *, heads, scale, ws, single_mask):
+                 mask_ref, out_ref, qkv_scr, *, heads, scale, ws,
+                 single_mask, qkv_chunks):
     """Fully fused swin attention for one row of windows: qkv projection,
     per-window per-head attention, and output projection — weights stay
     VMEM-resident across cells (constant index maps).
 
+    The qkv activations land in an explicit bf16 VMEM scratch, computed in
+    `qkv_chunks` row chunks so the fp32 matmul intermediate stays small
+    (at C=1024 the whole-row fp32 qkv is ~7.9MB of VMEM value pressure;
+    chunking measured ~4% faster on the stage-2 shape, bit-identical).
+
     x_ref: (1, T, ws, W, C); wqkv: (C, 3C); wproj: (C, C); biases (1, *);
     bias_ref: (heads, TN, TN); mask_ref: (nW|1, TN, TN);
-    out_ref: (1, T, ws, W, C).
+    out_ref: (1, T, ws, W, C); qkv_scr: (rows, 3C) scratch.
     """
     _, T, _, Wd, C = x_ref.shape
     hd = C // heads
@@ -171,9 +177,13 @@ def _full_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
     rows = T * ws * Wd
 
     x = x_ref[0].reshape(rows, C)
-    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
-    qkv = qkv.reshape(T, ws, Wd, 3 * C)
+    ck = rows // qkv_chunks
+    for i in range(qkv_chunks):
+        part = jnp.dot(x[i * ck:(i + 1) * ck], wqkv_ref[:],
+                       preferred_element_type=jnp.float32)
+        qkv_scr[i * ck:(i + 1) * ck] = (
+            part + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+    qkv = qkv_scr[:].reshape(T, ws, Wd, 3 * C)
 
     win_outs = []
     for j in range(nW):
@@ -237,9 +247,15 @@ def fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
                                  memory_space=pltpu.VMEM)
 
     const = lambda b, i: (0, 0)
+    rows = T * ws * W
+    # chunk the qkv projection when the fp32 whole-row intermediate would
+    # be large (stage-2 C=1024: measured ~4% faster; chunks must divide
+    # rows and keep M a sublane multiple)
+    qkv_chunks = 4 if (C >= 1024 and rows % 4 == 0 and
+                       (rows // 4) % 8 == 0) else 1
     return pl.pallas_call(
         functools.partial(_full_kernel, heads=heads, scale=scale, ws=ws,
-                          single_mask=single_mask),
+                          single_mask=single_mask, qkv_chunks=qkv_chunks),
         grid=(B, nH),
         in_specs=[
             pl.BlockSpec((1, T, ws, W, C), lambda b, i: (b, 0, i, 0, 0),
@@ -256,6 +272,7 @@ def fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
                                lambda b, i: (b, 0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((rows, 3 * C), x.dtype)],
         interpret=interpret,
     )(x, wqkv.astype(x.dtype), bqkv[None].astype(jnp.float32),
       wproj.astype(x.dtype), bproj[None].astype(jnp.float32),
