@@ -87,10 +87,10 @@ class ContrastiveClipDataset:
         # optional RandAugment menu (config string, e.g. "rand-m9-mstd0.5");
         # off by default — the reference ships the menu unwired
         # (`contrast/data/augs.py`, SURVEY.md §2.1), here it is one option.
-        # NOTE: the menu's geometric ops (shear/translate/rotate) move image
-        # pixels but not the label map used as the pairing oracle — exactly
-        # as the reference's MapTransform would have; prefer photometric-only
-        # magnitudes if label-pixel alignment must stay exact
+        # Geometric ops (shear/translate/rotate) warp the label map with the
+        # same sampled affine (nearest, 255-fill), keeping the label-based
+        # pairing oracle pixel-aligned — the reference's MapTransform would
+        # have silently mis-paired here.
         if rand_augment:
             from stswincl_tpu.data.rand_augment import (
                 ClipRandAugment, rand_augment_transform)
@@ -160,7 +160,8 @@ class ContrastiveClipDataset:
         clip, lab, coord = resized_crop_clip(
             imgs, label, self.crop_h, self.crop_w, rng, scale=self.crop_scale)
         if self.clip_augment is not None:
-            clip = self.clip_augment(rng, clip.astype(np.uint8))
+            clip, lab = self.clip_augment(
+                rng, clip.astype(np.uint8), label=lab)
         mean, std = self.normalize
         clip = (clip.astype(np.float32) / 255.0 - mean) / std
         return clip, lab.astype(np.int32), coord

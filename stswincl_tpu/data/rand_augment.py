@@ -224,7 +224,11 @@ def translate_y_abs(img: np.ndarray, pixels: float) -> np.ndarray:
 def rotate(img: np.ndarray, degrees: float) -> np.ndarray:
     """PIL Image.rotate(degrees): counter-clockwise about the center,
     expand=False."""
-    H, W = img.shape[:2]
+    return _affine(img, _rotate_coeffs(img.shape, degrees))
+
+
+def _rotate_coeffs(shape, degrees: float) -> Tuple[float, ...]:
+    H, W = shape[:2]
     # screen coords have y down: a visually counter-clockwise rotation is a
     # clockwise one mathematically, so the inverse map uses -angle
     angle = np.deg2rad(-degrees)
@@ -234,7 +238,46 @@ def rotate(img: np.ndarray, degrees: float) -> np.ndarray:
     d, e = -sin, cos
     c = cx - a * cx - b * cy
     f = cy - d * cx - e * cy
-    return _affine(img, (a, b, c, d, e, f))
+    return (a, b, c, d, e, f)
+
+
+# ---------------------------------------------------------------------------
+# label-map warps paired with the geometric ops
+# ---------------------------------------------------------------------------
+
+LABEL_FILL = 255  # out-of-range for every class count -> dropped by one-hot
+
+
+def _affine_nearest(label: np.ndarray, coeffs: Tuple[float, ...],
+                    fill: int = LABEL_FILL) -> np.ndarray:
+    """Nearest-neighbor inverse warp with the SAME affine convention as
+    `_affine`, for integer label maps; out-of-frame pixels become `fill`."""
+    a, b, c, d, e, f = coeffs
+    H, W = label.shape[:2]
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    sx = a * (xs + 0.5) + b * (ys + 0.5) + c - 0.5
+    sy = d * (xs + 0.5) + e * (ys + 0.5) + f - 0.5
+    xi = np.rint(sx).astype(np.int64)
+    yi = np.rint(sy).astype(np.int64)
+    valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    out = np.full(label.shape, fill, dtype=label.dtype)
+    out[valid] = label[np.clip(yi, 0, H - 1), np.clip(xi, 0, W - 1)][valid]
+    return out
+
+
+# geometric op name -> fn(shape, *args) producing the shared affine coeffs;
+# any op listed here warps the label map alongside the image when the caller
+# provides one (the fix for the pairing-oracle misalignment the photometric
+# ops never had)
+GEOMETRIC_COEFFS: Dict[str, Callable] = {
+    "Rotate": _rotate_coeffs,
+    "ShearX": lambda shape, factor: (1, factor, 0, 0, 1, 0),
+    "ShearY": lambda shape, factor: (1, 0, 0, factor, 1, 0),
+    "TranslateX": lambda shape, pixels: (1, 0, pixels, 0, 1, 0),
+    "TranslateY": lambda shape, pixels: (1, 0, 0, 0, 1, pixels),
+    "TranslateXRel": lambda shape, pct: (1, 0, pct * shape[1], 0, 1, 0),
+    "TranslateYRel": lambda shape, pct: (1, 0, 0, 0, 1, pct * shape[0]),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -341,16 +384,26 @@ class RandAugmentOp:
     magnitude_std: float = 0.0
     hparams: dict = field(default_factory=dict)
 
-    def __call__(self, rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
+    def __call__(self, rng: np.random.Generator, img: np.ndarray,
+                 label: Optional[np.ndarray] = None):
+        """Apply to `img`; when `label` is given, geometric ops warp it with
+        the same sampled affine (nearest, LABEL_FILL) and (img, label) is
+        returned — keeping a label-as-pairing-oracle aligned with the pixels."""
         fn, level_fn = OPS[self.name]
         if rng.random() > self.prob:
-            return img
+            return img if label is None else (img, label)
         magnitude = self.magnitude
         if self.magnitude_std > 0:
             magnitude = rng.normal(magnitude, self.magnitude_std)
         magnitude = min(MAX_LEVEL, max(0.0, magnitude))
         args = level_fn(magnitude, rng, self.hparams) if level_fn else ()
-        return fn(img, *args)
+        out = fn(img, *args)
+        if label is None:
+            return out
+        if self.name in GEOMETRIC_COEFFS:
+            label = _affine_nearest(
+                label, GEOMETRIC_COEFFS[self.name](img.shape, *args))
+        return out, label
 
 
 @dataclass
@@ -372,10 +425,15 @@ class RandAugment:
             replace=self.choice_weights is None, p=self.choice_weights)
         return [self.ops[i] for i in idx]
 
-    def __call__(self, rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
+    def __call__(self, rng: np.random.Generator, img: np.ndarray,
+                 label: Optional[np.ndarray] = None):
+        if label is None:
+            for op in self.sample_ops(rng):
+                img = op(rng, img)
+            return img
         for op in self.sample_ops(rng):
-            img = op(rng, img)
-        return img
+            img, label = op(rng, img, label)
+        return img, label
 
 
 @dataclass
@@ -387,17 +445,35 @@ class ClipRandAugment:
     photometric consistency across time — the right default for the
     clip-contrastive pipeline). `per_frame=True` reproduces the reference
     `MapTransform` semantics (`augs.py:16-32`): independent draws per frame.
+
+    When `label` is given (clip-consistent mode only), geometric ops warp it
+    with the exact replayed affines so a label-based pairing oracle stays
+    pixel-aligned with the augmented clip; out-of-frame label pixels become
+    LABEL_FILL (=255, outside every class range, dropped by one-hot).
     """
 
     augment: RandAugment
     per_frame: bool = False
 
-    def __call__(self, rng: np.random.Generator, clip: np.ndarray) -> np.ndarray:
+    def __call__(self, rng: np.random.Generator, clip: np.ndarray,
+                 label: Optional[np.ndarray] = None):
         if self.per_frame:
+            if label is not None:
+                raise ValueError(
+                    "per_frame=True draws independent geometry per frame; "
+                    "no single warped label exists — use per_frame=False")
             return np.stack([self.augment(rng, f) for f in clip])
         seed = rng.integers(0, 2 ** 63 - 1)
-        return np.stack(
-            [self.augment(np.random.default_rng(seed), f) for f in clip])
+        if label is None:
+            return np.stack(
+                [self.augment(np.random.default_rng(seed), f) for f in clip])
+        frames = []
+        out_label = None
+        for f in clip:
+            f_out, out_label = self.augment(
+                np.random.default_rng(seed), f, label)
+            frames.append(f_out)
+        return np.stack(frames), out_label
 
 
 def rand_augment_ops(magnitude=10.0, magnitude_std=0.0, hparams=None,

@@ -111,6 +111,11 @@ def _ohem_select(loss: jnp.ndarray, n_min: int, thresh: float) -> jnp.ndarray:
     """
     loss_thresh = math.log(1.0 / thresh)  # -log(thresh)
 
+    # CE is mathematically >= 0 but rounding in lse - picked can produce
+    # tiny negatives; `_kth_largest_nonneg`'s bit-order trick requires
+    # non-negative inputs, so clamp (free: fuses into the producing pass)
+    loss = jnp.maximum(loss, 0.0)
+
     hard = loss > loss_thresh
     n_hard = jnp.sum(hard)
     mean_hard = jnp.sum(jnp.where(hard, loss, 0.0)) / jnp.maximum(n_hard, 1)

@@ -206,16 +206,27 @@ def _epilogue_kernel(x_ref, y_ref, s2_ref, b2_ref, w1_ref, b1_ref, w2_ref,
         out_ref[:] = n.astype(out_ref.dtype)
 
 
+# (C, hidden) configs verified on-device to compile AND run faster at the
+# generous VMEM budget (tools + /tmp sweep); anything else gets the
+# conservative budget the static accounting actually justifies, so an
+# unswept shape (e.g. non-default swin_dim) can't pick a row tile that
+# fails Mosaic VMEM allocation at compile time
+_SWEPT_EPI_CONFIGS = frozenset({(512, 2048), (1024, 4096)})
+
+
 def _pick_row_tile_epi(rows: int, C: int, hb: int, isz: int,
-                       w_bytes: int) -> int:
+                       w_bytes: int, hidden: int | None = None) -> int:
     """x/y/out tiles (x2 pipeline buffers) + xn + fp32 sum + hidden + acc,
     sized against the VMEM left after the (possibly resident) weights —
     bigger row tiles mean bigger-M matmuls. Swept on v5e (tools + /tmp
     sweep): stage-1 (C=512, hb=2048) tk=512 runs 18% faster than tk=256;
     stage-2 (C=1024, hb=1024) tk=256 5% faster than 128 — both verified to
-    compile at this budget (the static accounting here overestimates the
-    true live set, so the budget is set to what measured configs admit)."""
-    budget = 15 * 1024 * 1024 + 512 * 1024 - w_bytes
+    compile at the generous budget (the static accounting overestimates the
+    true live set; measured configs admit more)."""
+    if hidden is not None and (C, hidden) in _SWEPT_EPI_CONFIGS:
+        budget = 15 * 1024 * 1024 + 512 * 1024 - w_bytes
+    else:
+        budget = 11 * 1024 * 1024 - w_bytes
     per_row = 6 * C * isz + C * isz + C * 4 + hb * 4 + C * 4
     for tk in (1024, 512, 256, 128, 64, 32, 16, 8):
         if rows % tk == 0 and tk * per_row <= budget:
@@ -255,7 +266,7 @@ def fused_swin_block_epilogue(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n,
     # weight VMEM: single-buffered when resident (hb == hidden), else
     # streamed double-buffered
     w_bytes = (1 if hb == hidden else 2) * 2 * C * hb * isz
-    tk = _pick_row_tile_epi(R, C, hb, isz, w_bytes)
+    tk = _pick_row_tile_epi(R, C, hb, isz, w_bytes, hidden)
 
     row_spec = pl.BlockSpec((tk, C), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)

@@ -67,6 +67,12 @@ def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
         if pred.shape != label.shape:
             # score at the label's resolution: crop/resize mismatch guard for
             # synthetic/val paths where eval_hw differs from label size
+            if i == 0:
+                import logging
+                logging.getLogger("stswincl").warning(
+                    "evaluate_split: prediction %s resized (nearest) to label "
+                    "%s — protocol deviation from eval_hw=%s",
+                    pred.shape, label.shape, cfg.eval_hw)
             from PIL import Image
             pred = np.asarray(
                 Image.fromarray(pred.astype(np.int32), mode="I").resize(

