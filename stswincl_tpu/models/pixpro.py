@@ -86,12 +86,14 @@ class ContrastEncoder(nn.Module):
     swin_dim: int = 512
     num_heads: int = 4
     with_instance: bool = False
+    swin_depths: tuple = (3, 3)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         segmentor = TswinPlus(self.num_classes, swin_dim=self.swin_dim,
-                              num_heads=self.num_heads, dtype=self.dtype,
+                              num_heads=self.num_heads,
+                              swin_depths=self.swin_depths, dtype=self.dtype,
                               name="segmentor")
         features = segmentor(x, train=train, return_features=True)
         proj = ProjHead(dtype=self.dtype, name="projector")(features, train)

@@ -92,6 +92,9 @@ class TswinPlus(nn.Module):
     # (0, 2) group of the final stage-2 layer is skipped by default (~8%
     # of swin-stack FLOPs); logits are unchanged (tests/test_models.py)
     final_pair_only: bool = True
+    # swin layers per stage; (3, 3) = reference. Smaller only for
+    # compile-light dryrun/test configs (see SwinTemporalStack.depths).
+    swin_depths: Tuple[int, int] = (3, 3)
     dtype: Dtype = jnp.float32
 
     def trunk(self, x, train: bool):
@@ -110,7 +113,7 @@ class TswinPlus(nn.Module):
             dim=self.swin_dim, input_resolution=(h8, w8),
             num_heads=self.num_heads, attn_impl=self.attn_impl,
             gelu_exact=self.gelu_exact, remat=self.remat,
-            final_pair_only=self.final_pair_only,
+            final_pair_only=self.final_pair_only, depths=self.swin_depths,
             dtype=self.dtype, name="swin",
         )(feats)
         s1_last = stage1[:, -1]           # (B, h8, w8, 512)

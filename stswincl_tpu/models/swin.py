@@ -127,6 +127,31 @@ class _NormParams(nn.Module):
         return scale, bias
 
 
+def resolve_attn_impl(attn_impl: str, in_dim: int, dim: int, dtype) -> str:
+    """Resolve 'auto' and the pallas_full VMEM-fit fallback — shared by
+    WindowAttention and SpaceTimeSwinBlock so both sides of the roll-free
+    SW-MSA contract agree on the route."""
+    impl = attn_impl
+    if impl == "auto":
+        # measured on v5e (tools/profile_swin_pallas.py), full stack:
+        # pallas_full 14.5 ms < pallas 15.0 < einsum 17.7; einsum is the
+        # off-TPU fallback.
+        from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+        impl = "pallas_full" if _is_tpu_backend() else "einsum"
+    if impl == "pallas_full":
+        # the resident qkv+proj weights must fit VMEM alongside the row
+        # tiles: at C=1024 in fp32 they alone are 16 MB (measured
+        # compile-time VMEM OOM) — fall back to the weights-in-HBM
+        # image kernel for large-C fp32 configs.
+        # 10MB: bf16 stage-2 (8.4MB resident) fits and measured fastest;
+        # fp32 stage-2 (16.8MB) cannot fit a 16MB VMEM
+        itemsize = jnp.dtype(dtype).itemsize
+        weights_bytes = (in_dim * 3 * dim + dim * dim) * itemsize
+        if weights_bytes > 10 * 1024 * 1024:
+            impl = "pallas"
+    return impl
+
+
 class WindowAttention(nn.Module):
     """QKV + relative-position-bias window attention on an image-layout
     clip (B, T, H, W, C) -> (B, T, H, W, C); input is already cyclically
@@ -154,7 +179,12 @@ class WindowAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, shift: int = 0):
+        """`shift` > 0 selects the roll-free SW-MSA path: x is UNSHIFTED
+        and the fused kernel performs the cyclic shift in VMEM; the output
+        stays in shifted layout (the caller's epilogue absorbs the inverse).
+        Only valid when the routing resolves to 'pallas_full' — use
+        `resolve_attn_impl` before asking for it."""
         B, T, H, W, C = x.shape
         ws = self.window_size[0]
         nH, nW_ = H // ws, W // ws
@@ -176,24 +206,9 @@ class WindowAttention(nn.Module):
         rel_bias = bias_table[rel_idx.reshape(-1)].reshape(N, N, heads)
         rel_bias = rel_bias.transpose(2, 0, 1)  # (heads, N, N)
 
-        impl = self.attn_impl
-        if impl == "auto":
-            # measured on v5e (tools/profile_swin_pallas.py), full stack:
-            # pallas_full 14.5 ms < pallas 15.0 < einsum 17.7; einsum is the
-            # off-TPU fallback.
-            from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
-            impl = "pallas_full" if _is_tpu_backend() else "einsum"
-        if impl == "pallas_full":
-            # the resident qkv+proj weights must fit VMEM alongside the row
-            # tiles: at C=1024 in fp32 they alone are 16 MB (measured
-            # compile-time VMEM OOM) — fall back to the weights-in-HBM
-            # image kernel for large-C fp32 configs.
-            itemsize = jnp.dtype(self.dtype).itemsize
-            weights_bytes = (C * 3 * self.dim + self.dim * self.dim) * itemsize
-            # 10MB: bf16 stage-2 (8.4MB resident) fits and measured fastest;
-            # fp32 stage-2 (16.8MB) cannot fit a 16MB VMEM
-            if weights_bytes > 10 * 1024 * 1024:
-                impl = "pallas"
+        impl = resolve_attn_impl(self.attn_impl, C, self.dim, self.dtype)
+        assert shift == 0 or impl == "pallas_full", (
+            "shift-in-kernel is only implemented by the pallas_full route")
 
         if impl == "pallas_full":
             # whole sub-block (qkv -> attention -> proj) in one kernel with
@@ -209,7 +224,7 @@ class WindowAttention(nn.Module):
                 mask_tiled = jnp.tile(mask.astype(jnp.float32), (1, T, T))
             return fused_swin_block_attention(
                 x.astype(self.dtype), wqkv, bqkv, wproj, bproj,
-                bias_tiled, mask_tiled, heads, scale, ws)
+                bias_tiled, mask_tiled, heads, scale, ws, shift)
 
         # pointwise qkv on the image layout (commutes with partitioning)
         qkv = nn.Dense(3 * self.dim, use_bias=True,
@@ -283,16 +298,44 @@ class SpaceTimeSwinBlock(nn.Module):
 
         shortcut = x
 
-        xi = x.reshape(B * T, H, W, C)
-        xi = cyclic_shift(xi, ss)
-        xi = xi.reshape(B, T, H, W, C)
-
         if ss > 0:
             mask = jnp.asarray(
                 shifted_window_attention_mask(H, W, ws, ss), dtype=jnp.float32
             )
         else:
             mask = None
+
+        from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+        # roll-free SW-MSA: the fused attention kernel shifts in VMEM and
+        # the image-aware epilogue reads the inverse shift back, so neither
+        # cyclic roll is materialized in HBM (the 4-row-misaligned XLA
+        # slice+concat fusions measured ~7 ms/forward at serving batch)
+        shift_in_kernel = (
+            ss > 0 and _is_tpu_backend()
+            and resolve_attn_impl(self.attn_impl, C, self.dim,
+                                  self.dtype) == "pallas_full")
+
+        if shift_in_kernel:
+            xi = x.reshape(B, T, H, W, C)
+            attn_s = WindowAttention(
+                self.dim, (ws, ws), self.num_heads, attn_impl=self.attn_impl,
+                dtype=self.dtype, name="attn",
+            )(xi, mask, shift=ss)  # output in SHIFTED layout
+            from stswincl_tpu.ops.pallas_add_ln_mlp import (
+                fused_swin_block_epilogue_shifted)
+            s2, b2 = _NormParams(self.dim, name="norm2")()
+            s1, b1 = _NormParams(self.dim, name="norm1")()
+            w1, bw1, w2, bw2 = _MlpParams(
+                self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
+            out = fused_swin_block_epilogue_shifted(
+                shortcut.astype(self.dtype).reshape(B, T, H, W, C), attn_s,
+                s2, b2, w1, bw1, w2, bw2, s1, b1, ss, ws, self.gelu_exact)
+            return out.reshape(B, T, L, C)
+
+        xi = x.reshape(B * T, H, W, C)
+        xi = cyclic_shift(xi, ss)
+        xi = xi.reshape(B, T, H, W, C)
+
         attn = WindowAttention(
             self.dim, (ws, ws), self.num_heads, attn_impl=self.attn_impl,
             dtype=self.dtype, name="attn",
@@ -415,6 +458,11 @@ class SwinTemporalStack(nn.Module):
     # unchanged; stage2 frames 0-1 are then NOT the reference values, so
     # full-tensor parity tests keep this False.
     final_pair_only: bool = False
+    # layers per stage. (3, 3) is the reference architecture; smaller values
+    # (compile-light test/dryrun configs) keep the alternating temporal
+    # schedule — layer i uses PAIR_SCHEDULE[i % 2], so (2, 2) still
+    # exercises both schedule variants once per stage.
+    depths: Tuple[int, int] = (3, 3)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -460,15 +508,18 @@ class SwinTemporalStack(nn.Module):
                     name=f"layers_{i}_sw"),
             )
 
-        for i in range(3):
-            x = _apply_paired(stage1_pair(i), x, PAIR_SCHEDULE[i])
+        d1, d2 = self.depths
+        for i in range(d1):
+            x = _apply_paired(stage1_pair(i), x, PAIR_SCHEDULE[i % 2])
         stage1 = x.reshape(B, T, H, W, C)
 
         x = PatchMerging((H, W), self.dim, dtype=self.dtype, name="downsample")(x)
-        for i in range(3):
-            pairs = PAIR_SCHEDULE[i]
-            if self.final_pair_only and i == 2:
+        for i in range(d2):
+            pairs = PAIR_SCHEDULE[i % 2]
+            # the dead-group skip only applies when the final layer runs the
+            # two-group schedule (its (0, 2) half never reaches frame -1)
+            if self.final_pair_only and i == d2 - 1 and len(pairs) == 2:
                 pairs = ((2, 4),)
-            x = _apply_paired(stage2_pair(i + 3), x, pairs)
+            x = _apply_paired(stage2_pair(i + d1), x, pairs)
         stage2 = x.reshape(B, T, H // 2, W // 2, 2 * C)
         return stage1, stage2

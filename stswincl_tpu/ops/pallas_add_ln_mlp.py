@@ -297,6 +297,152 @@ def fused_swin_block_epilogue(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n,
     return out.reshape(*lead, C)
 
 
+def _epi_shifted_kernel(x_ref, y_ref, yprev_ref, s2_ref, b2_ref, w1_ref,
+                        b1_ref, w2_ref, bw2_ref, s1_ref, b1n_ref, out_ref,
+                        xn, sum32, acc, *, eps, gelu_exact, shift, ws):
+    """Image-aware epilogue: grid (B, nH, h_blocks), h innermost. Identical
+    math to `_epilogue_kernel`, but `y` (the SW attention output, which
+    `fused_swin_block_attention(shift>0)` leaves in SHIFTED layout) is read
+    back with the INVERSE cyclic shift assembled in VMEM: the last `shift`
+    H rows of shifted band (i-1) mod nH (`yprev_ref`) + the first
+    ws - shift rows of band i, rotated by +shift along W. The residual sum,
+    LN, and MLP then run on matching unshifted coordinates and the output
+    is written unshifted — the inverse `jnp.roll` never exists in HBM.
+
+    x_ref/out_ref: (1, T, ws, W, C) unshifted band i; y_ref: shifted band
+    i; yprev_ref: shifted band (i-1) mod nH.
+    """
+    hb_idx = pl.program_id(2)
+    n_hb = pl.num_programs(2)
+    _, T, _, Wd, C = x_ref.shape
+    rows = T * ws * Wd
+
+    @pl.when(hb_idx == 0)
+    def _():
+        band = jnp.concatenate(
+            [yprev_ref[0, :, ws - shift:], y_ref[0, :, :ws - shift]], axis=1)
+        band = jnp.concatenate(
+            [band[:, :, Wd - shift:], band[:, :, :Wd - shift]], axis=2)
+        s32 = (x_ref[0].astype(jnp.float32)
+               + band.astype(jnp.float32)).reshape(rows, C)
+        sum32[:] = s32
+        mu = jnp.mean(s32, axis=-1, keepdims=True)
+        xc = s32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        n = xc * jax.lax.rsqrt(var + eps)
+        n = n * s2_ref[0].astype(jnp.float32) + b2_ref[0].astype(jnp.float32)
+        xn[:] = n.astype(xn.dtype)
+
+    h = jnp.dot(xn[:], w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = _gelu(h, gelu_exact)
+    part = jnp.dot(h.astype(xn.dtype), w2_ref[:],
+                   preferred_element_type=jnp.float32)
+
+    @pl.when(hb_idx == 0)
+    def _():
+        acc[:] = part + bw2_ref[0].astype(jnp.float32)
+
+    @pl.when(hb_idx > 0)
+    def _():
+        acc[:] = acc[:] + part
+
+    @pl.when(hb_idx == n_hb - 1)
+    def _():
+        s32 = sum32[:] + acc[:]
+        mu = jnp.mean(s32, axis=-1, keepdims=True)
+        xc = s32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        n = xc * jax.lax.rsqrt(var + eps)
+        n = n * s1_ref[0].astype(jnp.float32) + b1n_ref[0].astype(jnp.float32)
+        out_ref[0] = n.astype(out_ref.dtype).reshape(T, ws, Wd, C)
+
+
+def swin_block_epilogue_shifted_ref(x, y_shifted, s2, b2, w1, b1, w2, bw2,
+                                    s1, b1n, shift, gelu_exact=True,
+                                    eps=1e-5):
+    """XLA reference (and backward math): un-shift y, then the epilogue.
+    x, y_shifted: (B, T, H, W, C)."""
+    y = jnp.roll(y_shifted, (shift, shift), axis=(2, 3))
+    return swin_block_epilogue_ref(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n,
+                                   gelu_exact, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def fused_swin_block_epilogue_shifted(x, y_shifted, s2, b2, w1, b1, w2, bw2,
+                                      s1, b1n, shift, ws, gelu_exact=True,
+                                      eps=1e-5, interpret=False):
+    """The SW block's full post-attention tail in ONE kernel, consuming the
+    attention output in SHIFTED layout and producing the unshifted result:
+    out = LN1((x + unshift(y)) + mlp(LN2(x + unshift(y)))).
+
+    x, y_shifted: (B, T, H, W, C). Pairs with
+    `fused_swin_block_attention(shift>0)` so neither roll touches HBM.
+    """
+    B, T, H, W, C = x.shape
+    nH = H // ws
+    hidden = w1.shape[1]
+    isz = jnp.dtype(x.dtype).itemsize
+    hb = _pick_h_block(hidden, C, isz)
+
+    const3 = lambda b, i, j: (0, 0)
+    band = pl.BlockSpec((1, T, ws, W, C), lambda b, i, j: (b, 0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    prev = pl.BlockSpec((1, T, ws, W, C),
+                        lambda b, i, j: (b, 0, (i + nH - 1) % nH, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec_c = pl.BlockSpec((1, C), const3, memory_space=pltpu.VMEM)
+    rows = T * ws * W
+    out = pl.pallas_call(
+        functools.partial(_epi_shifted_kernel, eps=eps,
+                          gelu_exact=gelu_exact, shift=shift, ws=ws),
+        grid=(B, nH, hidden // hb),
+        in_specs=[
+            band, band, prev, vec_c, vec_c,
+            pl.BlockSpec((C, hb), lambda b, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb), lambda b, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, C), lambda b, i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            vec_c, vec_c, vec_c,
+        ],
+        out_specs=band,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((rows, C), x.dtype),
+                        pltpu.VMEM((rows, C), jnp.float32),
+                        pltpu.VMEM((rows, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(x, y_shifted, y_shifted, s2[None].astype(jnp.float32),
+      b2[None].astype(jnp.float32), w1.astype(x.dtype),
+      b1[None].astype(jnp.float32), w2.astype(x.dtype),
+      bw2[None].astype(jnp.float32), s1[None].astype(jnp.float32),
+      b1n[None].astype(jnp.float32))
+    return out
+
+
+def _epis_fwd(x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n, shift, ws,
+              gelu_exact, eps, interpret):
+    out = fused_swin_block_epilogue_shifted(
+        x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n, shift, ws,
+        gelu_exact, eps, interpret)
+    return out, (x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n)
+
+
+def _epis_bwd(shift, ws, gelu_exact, eps, interpret, res, g):
+    args = res
+    _, vjp = jax.vjp(
+        lambda *a: swin_block_epilogue_shifted_ref(
+            *a, shift, gelu_exact, eps), *args)
+    grads = vjp(g)
+    return tuple(gr.astype(r.dtype) for gr, r in zip(grads, args))
+
+
+fused_swin_block_epilogue_shifted.defvjp(_epis_fwd, _epis_bwd)
+
+
 def _epi_fwd(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, gelu_exact, eps,
              interpret):
     out = fused_swin_block_epilogue(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n,

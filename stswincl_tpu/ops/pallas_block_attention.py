@@ -154,9 +154,9 @@ def windowed_attention_image(qkv, bias_tiled, mask_tiled, heads, scale, ws,
     )(qkv, bias_tiled, mask_tiled)
 
 
-def _full_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
-                 mask_ref, out_ref, qkv_scr, *, heads, scale, ws,
-                 single_mask, qkv_chunks):
+def _full_kernel(x_ref, xnext_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                 bias_ref, mask_ref, out_ref, qkv_scr, *, heads, scale, ws,
+                 single_mask, qkv_chunks, shift):
     """Fully fused swin attention for one row of windows: qkv projection,
     per-window per-head attention, and output projection — weights stay
     VMEM-resident across cells (constant index maps).
@@ -166,7 +166,18 @@ def _full_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
     (at C=1024 the whole-row fp32 qkv is ~7.9MB of VMEM value pressure;
     chunking measured ~4% faster on the stage-2 shape, bit-identical).
 
-    x_ref: (1, T, ws, W, C); wqkv: (C, 3C); wproj: (C, C); biases (1, *);
+    `shift` > 0 absorbs the SW-MSA cyclic shift into the kernel: the window
+    band is assembled from the UNSHIFTED tensor — the last (ws - shift) H
+    rows of band i plus the first `shift` H rows of band (i+1) mod nH
+    (delivered as `xnext_ref`, the same array fetched at the successor
+    index), then rotated by `shift` along W in VMEM. Replaces the two XLA
+    `jnp.roll`s (~2.0 ms per SW block at stage-1 serving shape — the
+    4-row-misaligned slice+concat fusions run far below HBM bandwidth)
+    with an in-VMEM shuffle measured at ~0.08 ms. The W-axis rotation is
+    slice+concat because Mosaic's rotate lowering rejects non-32-bit data.
+
+    x_ref: (1, T, ws, W, C); xnext_ref: same (only read when shift > 0);
+    wqkv: (C, 3C); wproj: (C, C); biases (1, *);
     bias_ref: (heads, TN, TN); mask_ref: (nW|1, TN, TN);
     out_ref: (1, T, ws, W, C); qkv_scr: (rows, 3C) scratch.
     """
@@ -176,7 +187,14 @@ def _full_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
     TN = T * ws * ws
     rows = T * ws * Wd
 
-    x = x_ref[0].reshape(rows, C)
+    if shift:
+        band = jnp.concatenate(
+            [x_ref[0, :, shift:], xnext_ref[0, :, :shift]], axis=1)
+        band = jnp.concatenate(
+            [band[:, :, shift:], band[:, :, :shift]], axis=2)
+        x = band.reshape(rows, C)
+    else:
+        x = x_ref[0].reshape(rows, C)
     ck = rows // qkv_chunks
     for i in range(qkv_chunks):
         part = jnp.dot(x[i * ck:(i + 1) * ck], wqkv_ref[:],
@@ -215,8 +233,14 @@ def _full_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
 
 
 def fused_swin_block_attention_ref(x, wqkv, bqkv, wproj, bproj, bias_tiled,
-                                   mask_tiled, heads, scale, ws):
-    """XLA reference (and backward math) for the fully fused kernel."""
+                                   mask_tiled, heads, scale, ws, shift=0):
+    """XLA reference (and backward math) for the fully fused kernel.
+
+    With shift > 0 the input is unshifted and the reference applies the
+    cyclic shift first; the output remains in shifted layout (matching the
+    kernel's contract)."""
+    if shift:
+        x = jnp.roll(x, (-shift, -shift), axis=(2, 3))
     qkv = (jnp.einsum("bthwc,cd->bthwd", x, wqkv.astype(x.dtype),
                       preferred_element_type=jnp.float32)
            + bqkv.astype(jnp.float32)).astype(x.dtype)
@@ -228,11 +252,20 @@ def fused_swin_block_attention_ref(x, wqkv, bqkv, wproj, bproj, bias_tiled,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
-                               mask_tiled, heads, scale, ws, interpret=False):
+                               mask_tiled, heads, scale, ws, shift=0,
+                               interpret=False):
     """Whole shifted-window attention sub-block (qkv -> windowed attention
-    -> proj) as one Pallas kernel. x: (B, T, H, W, C), already shifted."""
+    -> proj) as one Pallas kernel. x: (B, T, H, W, C).
+
+    With shift == 0, x must already be cyclically shifted (or the block is
+    unshifted W-MSA). With shift > 0, x is the UNSHIFTED tensor and the
+    kernel performs the cyclic shift internally (see `_full_kernel`); the
+    OUTPUT stays in shifted layout — pair with
+    `pallas_add_ln_mlp.fused_swin_block_epilogue_shifted`, which absorbs
+    the inverse shift, so no rolled tensor ever exists in HBM.
+    """
     B, T, H, W, C = x.shape
     nH, nW = H // ws, W // ws
     TN = T * ws * ws
@@ -250,16 +283,29 @@ def fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
     rows = T * ws * W
     # chunk the qkv projection when the fp32 whole-row intermediate would
     # be large (stage-2 C=1024: measured ~4% faster; chunks must divide
-    # rows and keep M a sublane multiple)
-    qkv_chunks = 4 if (C >= 1024 and rows % 4 == 0 and
+    # rows and keep M a sublane multiple). The shifted path always chunks:
+    # the extra input block + band temporaries need the VMEM back.
+    qkv_chunks = 4 if ((C >= 1024 or shift) and rows % 4 == 0 and
                        (rows // 4) % 8 == 0) else 1
+    band_spec = pl.BlockSpec((1, T, ws, W, C), lambda b, i: (b, 0, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    next_spec = pl.BlockSpec(
+        (1, T, ws, W, C), lambda b, i: (b, 0, (i + 1) % nH, 0, 0),
+        memory_space=pltpu.VMEM)
+    # the un-shifted path never reads xnext: fetch block 0 constantly so it
+    # costs one buffer, not a second stream
+    if not shift:
+        next_spec = pl.BlockSpec((1, T, ws, W, C),
+                                 lambda b, i: (0, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_full_kernel, heads=heads, scale=scale, ws=ws,
-                          single_mask=single_mask, qkv_chunks=qkv_chunks),
+                          single_mask=single_mask, qkv_chunks=qkv_chunks,
+                          shift=shift),
         grid=(B, nH),
         in_specs=[
-            pl.BlockSpec((1, T, ws, W, C), lambda b, i: (b, 0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            band_spec,
+            next_spec,
             pl.BlockSpec((C, 3 * C), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * C), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C), const, memory_space=pltpu.VMEM),
@@ -273,24 +319,27 @@ def fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((rows, 3 * C), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024) if shift else None,
         interpret=interpret,
-    )(x, wqkv.astype(x.dtype), bqkv[None].astype(jnp.float32),
+    )(x, x, wqkv.astype(x.dtype), bqkv[None].astype(jnp.float32),
       wproj.astype(x.dtype), bproj[None].astype(jnp.float32),
       bias_tiled, mask_tiled)
 
 
 def _fsba_fwd(x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled,
-              heads, scale, ws, interpret):
+              heads, scale, ws, shift, interpret):
     out = fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
-                                     mask_tiled, heads, scale, ws, interpret)
+                                     mask_tiled, heads, scale, ws, shift,
+                                     interpret)
     return out, (x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled)
 
 
-def _fsba_bwd(heads, scale, ws, interpret, res, g):
+def _fsba_bwd(heads, scale, ws, shift, interpret, res, g):
     x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled = res
     _, vjp = jax.vjp(
         lambda a, b, c, d, e, f, m: fused_swin_block_attention_ref(
-            a, b, c, d, e, f, m, heads, scale, ws),
+            a, b, c, d, e, f, m, heads, scale, ws, shift),
         x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled)
     return vjp(g)
 

@@ -67,6 +67,37 @@ def test_full_seg_train_step_sharded_matches_single(rng):
 
 
 @pytest.mark.slow
+def test_full_width_seg_train_step_sharded_matches_single(rng):
+    """Production width (swin_dim=512): round-2 review noted all
+    multi-device evidence ran swin_dim=64; this pins width-independence of
+    the mesh semantics at the real channel count. depths=(1, 1) + tiny
+    spatial dims keep the CPU compile tractable — width, not depth, is the
+    dimension under test (the 64-wide tests cover the full depth)."""
+    model = TswinPlus(num_classes=12, swin_dim=512, swin_depths=(1, 1))
+    B, T, H, W = 8, 4, 64, 128
+    images = jnp.asarray(
+        rng.standard_normal((B, T, H, W, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 12, size=(B, H, W)).astype(np.int32))
+    variables = model.init(jax.random.key(0), images[:1], train=False)
+    tx = make_sgd(1e-3, momentum=0.9, weight_decay=1e-4)
+    step = make_seg_train_step(model, tx, loss_type="ohem")
+
+    s_a = SegTrainState.create(variables, tx)
+    s_a, m_a = step(s_a, images, labels)
+
+    mesh = make_mesh(8)
+    s_b = SegTrainState.create(variables, tx)
+    s_b = replicate(s_b, mesh)
+    sb = shard_batch({"image": images, "label": labels}, mesh)
+    s_b, m_b = step(s_b, sb["image"], sb["label"])
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    assert _max_tree_diff(s_a.params, s_b.params) < 1e-4
+    assert _max_tree_diff(s_a.batch_stats, s_b.batch_stats) < 1e-4
+
+
+@pytest.mark.slow
 def test_full_contrast_train_step_sharded_matches_single(rng):
     model = ContrastEncoder(num_classes=5, swin_dim=64)
     clips = jnp.asarray(

@@ -127,3 +127,43 @@ def test_block_routes_fused_epilogue(rng, monkeypatch):
     got = block.apply(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_epilogue_shifted_matches_ref(rng):
+    from stswincl_tpu.ops.pallas_add_ln_mlp import (
+        fused_swin_block_epilogue_shifted, swin_block_epilogue_shifted_ref)
+
+    B, T, H, W, C, ws, ss = 2, 2, 8, 12, 32, 4, 2
+    hidden = 4 * C
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1 + 1)
+    b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+    s1 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1 + 1)
+    b1 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.standard_normal((C, hidden)).astype(np.float32) * 0.1)
+    bw1 = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((hidden, C)).astype(np.float32) * 0.1)
+    bw2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+
+    got = fused_swin_block_epilogue_shifted(
+        x, y, s2, b2, w1, bw1, w2, bw2, s1, b1, ss, ws, True, 1e-5, True)
+    want = swin_block_epilogue_shifted_ref(
+        x, y, s2, b2, w1, bw1, w2, bw2, s1, b1, ss)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_k(x, y, w1):
+        return jnp.sum(fused_swin_block_epilogue_shifted(
+            x, y, s2, b2, w1, bw1, w2, bw2, s1, b1, ss, ws, True, 1e-5,
+            True) ** 2)
+
+    def loss_r(x, y, w1):
+        return jnp.sum(swin_block_epilogue_shifted_ref(
+            x, y, s2, b2, w1, bw1, w2, bw2, s1, b1, ss) ** 2)
+
+    g0 = jax.grad(loss_k, argnums=(0, 1, 2))(x, y, w1)
+    g1 = jax.grad(loss_r, argnums=(0, 1, 2))(x, y, w1)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)

@@ -137,7 +137,7 @@ def test_full_fused_matches_ref(rng):
     scale = (C // heads) ** -0.5
 
     got = fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
-                                     mask_tiled, heads, scale, ws, True)
+                                     mask_tiled, heads, scale, ws, 0, True)
     want = fused_swin_block_attention_ref(x, wqkv, bqkv, wproj, bproj,
                                           bias_tiled, mask_tiled, heads,
                                           scale, ws)
@@ -148,7 +148,7 @@ def test_full_fused_matches_ref(rng):
     def loss_k(x, wq, bq, wp, bp):
         return jnp.sum(fused_swin_block_attention(
             x, wq, bq, wp, bp, bias_tiled, mask_tiled, heads, scale, ws,
-            True) ** 2)
+            0, True) ** 2)
 
     def loss_r(x, wq, bq, wp, bp):
         return jnp.sum(fused_swin_block_attention_ref(
@@ -172,7 +172,7 @@ def test_full_stack_pallas_full_interpret_matches_einsum(rng):
     s1_e, s2_e = m_e.apply(v, x)
 
     orig = pba.fused_swin_block_attention
-    forced = (lambda *a, **kw: orig(*a[:10], True))
+    forced = (lambda *a, **kw: orig(*a[:11], True))
     pba.fused_swin_block_attention, saved = forced, pba.fused_swin_block_attention
     try:
         m_p = SwinTemporalStack(dim=32, input_resolution=(16, 16),
@@ -180,6 +180,95 @@ def test_full_stack_pallas_full_interpret_matches_einsum(rng):
         s1_p, s2_p = m_p.apply(v, x)
     finally:
         pba.fused_swin_block_attention = saved
+    np.testing.assert_allclose(np.asarray(s1_p), np.asarray(s1_e),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2_p), np.asarray(s2_e),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attention_shifted_matches_roll(rng):
+    """shift-in-kernel == roll + unshifted kernel (and the ref)."""
+    from stswincl_tpu.ops.pallas_block_attention import (
+        fused_swin_block_attention, fused_swin_block_attention_ref)
+
+    B, T, H, W, C, heads, ws, ss = 2, 2, 8, 12, 32, 2, 4, 2
+    TN = T * ws * ws
+    N = ws * ws
+    nWin = (H // ws) * (W // ws)
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((C, 3 * C)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.standard_normal(3 * C).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.standard_normal((C, C)).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+    table = rng.standard_normal(((2 * ws - 1) ** 2, heads)).astype(np.float32) * 0.02
+    idx = relative_position_index(ws, ws)
+    bias = table[idx.reshape(-1)].reshape(N, N, heads).transpose(2, 0, 1)
+    bias_tiled = jnp.asarray(np.tile(bias, (1, T, T)))
+    m = shifted_window_attention_mask(H, W, ws, ss)
+    assert m.shape[0] == nWin
+    mask_tiled = jnp.asarray(np.tile(m, (1, T, T)))
+    scale = (C // heads) ** -0.5
+
+    got = fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
+                                     mask_tiled, heads, scale, ws, ss, True)
+    xr = jnp.roll(x, (-ss, -ss), axis=(2, 3))
+    want = fused_swin_block_attention(xr, wqkv, bqkv, wproj, bproj,
+                                      bias_tiled, mask_tiled, heads, scale,
+                                      ws, 0, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    want_ref = fused_swin_block_attention_ref(
+        x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled, heads, scale,
+        ws, ss)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # grads through the shifted custom vjp == grads of the rolled ref
+    def loss_k(x, wq):
+        return jnp.sum(fused_swin_block_attention(
+            x, wq, bqkv, wproj, bproj, bias_tiled, mask_tiled, heads, scale,
+            ws, ss, True) ** 2)
+
+    def loss_r(x, wq):
+        return jnp.sum(fused_swin_block_attention_ref(
+            x, wq, bqkv, wproj, bproj, bias_tiled, mask_tiled, heads, scale,
+            ws, ss) ** 2)
+
+    g0 = jax.grad(loss_k, argnums=(0, 1))(x, wqkv)
+    g1 = jax.grad(loss_r, argnums=(0, 1))(x, wqkv)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_full_stack_shift_in_kernel_matches_einsum(rng, monkeypatch):
+    """The roll-free SW-MSA wiring (TPU-only route, forced on here with
+    interpreted kernels) must reproduce the einsum stack exactly."""
+    from stswincl_tpu.models import SwinTemporalStack
+    import stswincl_tpu.ops.pallas_attention as pa
+    import stswincl_tpu.ops.pallas_block_attention as pba
+    import stswincl_tpu.ops.pallas_add_ln_mlp as palm
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16, 32)).astype(np.float32))
+    m_e = SwinTemporalStack(dim=32, input_resolution=(16, 16), num_heads=4,
+                            attn_impl="einsum")
+    v = m_e.init(jax.random.key(0), x)
+    s1_e, s2_e = m_e.apply(v, x)
+
+    monkeypatch.setattr(pa, "_is_tpu_backend", lambda: True)
+    orig_attn = pba.fused_swin_block_attention
+    monkeypatch.setattr(pba, "fused_swin_block_attention",
+                        lambda *a, **kw: orig_attn(*a[:11], True))
+    orig_epi = palm.fused_swin_block_epilogue
+    monkeypatch.setattr(palm, "fused_swin_block_epilogue",
+                        lambda *a, **kw: orig_epi(*a[:11], 1e-5, True))
+    orig_epis = palm.fused_swin_block_epilogue_shifted
+    monkeypatch.setattr(palm, "fused_swin_block_epilogue_shifted",
+                        lambda *a, **kw: orig_epis(*a[:13], 1e-5, True))
+
+    m_p = SwinTemporalStack(dim=32, input_resolution=(16, 16),
+                            num_heads=4, attn_impl="pallas_full")
+    s1_p, s2_p = m_p.apply(v, x)
     np.testing.assert_allclose(np.asarray(s1_p), np.asarray(s1_e),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s2_p), np.asarray(s2_e),

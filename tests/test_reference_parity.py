@@ -103,3 +103,105 @@ def test_jax_swin_matches_checked_in_golden():
     j2 = np.transpose(np.asarray(j2), (0, 1, 4, 2, 3))
     np.testing.assert_allclose(j1, s1, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(j2, s2, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# full-network anchor (round-3): ResNet18-OS8 + TswinPlus imported directly
+# ---------------------------------------------------------------------------
+
+FULL_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "reference_full_golden.npz")
+
+
+def _full_model_input(seed):
+    rng = np.random.Generator(np.random.PCG64(int(seed)))
+    return torch.from_numpy(
+        rng.uniform(-1.0, 1.0, (1, 4, 3, 512, 640)).astype(np.float32))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="reference not on disk")
+def test_resnet_replica_matches_reference_module():
+    """torch_ref.TResNetOS8 == the reference ResNet18_OS8
+    (`seg18/net/Ours/resnet.py:93-137`, imported with the torchvision shim),
+    same weights — closes the round-2 gap where the resnet half of the
+    oracle was only hand-derived."""
+    from tests.reference_import import (load_reference_seg18,
+                                        patched_torch_load,
+                                        randomize_state_dict)
+    from tests.torch_ref import TResNetOS8
+
+    _, resnet_mod = load_reference_seg18()
+    with patched_torch_load():
+        ref = resnet_mod.ResNet18_OS8().eval()
+    sd = randomize_state_dict(ref.state_dict(), seed=77)
+    ref.load_state_dict(sd)
+
+    rep = TResNetOS8().eval()
+    missing, unexpected = rep.load_state_dict(sd, strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    x = torch.from_numpy(
+        rng.uniform(-1.0, 1.0, (2, 3, 64, 96)).astype(np.float32))
+    with torch.no_grad():
+        np.testing.assert_allclose(rep(x).numpy(), ref(x).numpy(),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="reference not on disk")
+def test_full_replica_matches_reference_module():
+    """torch_ref.TTswinPlus == the reference TswinPlus
+    (`seg18/net/Ours/base18.py:52-119`, imported directly), same weights,
+    native 512x640 — the resnet/ASPP/projection/classifier halves of the
+    oracle are now machine-checked, not replica-vs-replica."""
+    from tests.reference_import import (load_reference_seg18,
+                                        patched_torch_load,
+                                        randomize_state_dict)
+    from tests.torch_ref import TTswinPlus
+
+    base18, _ = load_reference_seg18()
+    with patched_torch_load():
+        ref = base18.TswinPlus(12).eval()
+    sd = randomize_state_dict(ref.state_dict(), seed=123)
+    ref.load_state_dict(sd)
+
+    rep = TTswinPlus(12).eval()
+    missing, unexpected = rep.load_state_dict(sd, strict=False)
+    assert all("relative_position_index" in k for k in missing + unexpected), (
+        missing, unexpected)
+
+    x = _full_model_input(5)
+    with torch.no_grad():
+        want = ref(x).numpy()
+        got = rep(x).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_full_replica_matches_checked_in_golden():
+    """TTswinPlus reproduces the checked-in full-model reference outputs
+    (weights reconstructed from the fixture's PCG64 seed — runs without the
+    reference tree). The JAX side is covered transitively: importer/logit
+    parity tests pin JAX == TTswinPlus, and this test pins TTswinPlus ==
+    reference."""
+    from tests.reference_import import randomize_state_dict
+    from tests.torch_ref import TTswinPlus
+
+    data = np.load(FULL_FIXTURE)
+    rep = TTswinPlus(12).eval()
+    sd = randomize_state_dict(rep.state_dict(), int(data["weight_seed"]))
+    missing, unexpected = rep.load_state_dict(sd, strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+
+    x = _full_model_input(data["input_seed"])
+    with torch.no_grad():
+        logits = rep(x).numpy()
+    np.testing.assert_allclose(logits[:, :, ::8, ::8],
+                               data["logits_strided"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(logits.mean(), float(data["logits_mean"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.abs(logits.astype(np.float64)).sum(),
+                               float(data["logits_abssum"]), rtol=1e-5)
