@@ -42,6 +42,7 @@ class ModelConfig:
     arch: str = "swinPlus"               # swinPlus | puredeeplab18
     num_classes: int = 12
     swin_dim: int = 512
+    swin_depths: Tuple[int, int] = (3, 3)  # layers per stage; (3,3)=reference
     num_heads: int = 4
     attn_impl: str = "auto"              # auto|einsum|pallas|pallas_full
     gelu_exact: bool = True              # erf (torch parity) vs tanh approx

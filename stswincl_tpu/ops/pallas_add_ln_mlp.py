@@ -155,6 +155,256 @@ fused_add_ln_mlp.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# fused epilogue BACKWARD kernel (single-h-block configs, e.g. stage 1)
+# ---------------------------------------------------------------------------
+
+def _ln_fwd_f32(s32, scale, bias, eps):
+    mu = jnp.mean(s32, axis=-1, keepdims=True)
+    xc = s32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rsig = jax.lax.rsqrt(var + eps)
+    xhat = xc * rsig
+    return xhat * scale + bias, xhat, rsig
+
+
+def _ln_bwd_f32(g, xhat, rsig, scale):
+    """dx for y = xhat*scale + bias (returns fp32; dscale/dbias left to the
+    caller as reductions of g*xhat / g)."""
+    gs = g * scale
+    m1 = jnp.mean(gs, axis=-1, keepdims=True)
+    m2 = jnp.mean(gs * xhat, axis=-1, keepdims=True)
+    return (gs - m1 - xhat * m2) * rsig
+
+
+def _gelu_grad(pre, exact):
+    """d gelu(pre) / d pre in fp32 (A&S erf polynomial, matching `_gelu`)."""
+    if exact:
+        x = pre / jnp.sqrt(2.0).astype(jnp.float32)
+        ax = jnp.abs(x)
+        t = 1.0 / (1.0 + 0.3275911 * ax)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+        erf = jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+        phi = 0.5 * (1.0 + erf)
+        pdf = jnp.exp(-0.5 * pre * pre) / jnp.sqrt(2.0 * jnp.pi).astype(
+            jnp.float32)
+        return phi + pre * pdf
+    c = jnp.sqrt(2.0 / jnp.pi).astype(jnp.float32)
+    inner = c * (pre + 0.044715 * pre ** 3)
+    th = jnp.tanh(inner)
+    sech2 = 1.0 - th * th
+    return 0.5 * (1.0 + th) + 0.5 * pre * sech2 * c * (
+        1.0 + 3 * 0.044715 * pre * pre)
+
+
+def _epi_bwd_kernel(x_ref, y_ref, g_ref, s2_ref, w1_ref, b1_ref, w2_ref,
+                    bw2_ref, s1_ref, ds_ref, dw1_ref, db1_ref, dw2_ref,
+                    dbw2_ref, ds1_ref, db1n_ref, ds2_ref, db2_ref,
+                    dw1_s, dw2_s, vec_s, *, eps, gelu_exact):
+    """Backward of `swin_block_epilogue_ref` for one row tile, everything in
+    VMEM — the XLA recompute materialized four (rows, hidden) tensors in
+    HBM (671 MB each at stage-1 serving shape) through ~230 GB/s loop
+    fusions. Weight/vector grads accumulate in fp32 scratch across the
+    sequential row-tile grid and are written once on the last tile.
+
+    Outputs: ds (rows, C) — dx == dy == ds; dw1/db1/dw2/dbw2/ds1/db1n/
+    ds2/db2. vec_s rows: [ds1, db1n, ds2, db2, db1(hidden? no — separate)]
+    — see layout below: vec_s is (6, C) f32 for the C-sized vectors and
+    db1 rides dw1_s's unused... (kept simple: db1 is hidden-sized, stored
+    in its own row of a (1, hidden) slice of dw1_s? No: db1 gets its own
+    accumulator as rows 0 of a (1, hidden) scratch folded into dw1_s) —
+    instead db1/dbw2 use vec rows padded to max(C, hidden) columns.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    C = x_ref.shape[1]
+    hidden = w1_ref.shape[1]
+
+    s2 = s2_ref[0].astype(jnp.float32)
+    s1 = s1_ref[0].astype(jnp.float32)
+
+    # ---- forward recompute, mirroring swin_block_epilogue_ref's casts ----
+    x32 = x_ref[:].astype(jnp.float32)
+    s32 = x32 + y_ref[:].astype(jnp.float32)
+    n2_32, xhat2, rsig2 = _ln_fwd_f32(s32, s2, s2_ref[1].astype(jnp.float32),
+                                      eps)
+    n2 = n2_32.astype(x_ref.dtype)
+    pre = jnp.dot(n2, w1_ref[:], preferred_element_type=jnp.float32)
+    pre = pre + b1_ref[0].astype(jnp.float32)
+    h = _gelu(pre, gelu_exact).astype(x_ref.dtype)
+    m = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    m = (m + bw2_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+    o32 = s32 + m.astype(jnp.float32)
+
+    mu1 = jnp.mean(o32, axis=-1, keepdims=True)
+    xc1 = o32 - mu1
+    var1 = jnp.mean(xc1 * xc1, axis=-1, keepdims=True)
+    rsig1 = jax.lax.rsqrt(var1 + eps)
+    xhat1 = xc1 * rsig1
+
+    # ---- backward ----
+    g = g_ref[:].astype(jnp.float32)
+    do32 = _ln_bwd_f32(g, xhat1, rsig1, s1)
+
+    dm = do32.astype(x_ref.dtype)
+    dh = jax.lax.dot_general(                       # dm @ w2^T
+        dm, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dpre32 = dh * _gelu_grad(pre, gelu_exact)
+    dpre = dpre32.astype(x_ref.dtype)
+    dn2 = jax.lax.dot_general(                      # dpre @ w1^T
+        dpre, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds_ln2 = _ln_bwd_f32(dn2, xhat2, rsig2, s2)
+    ds = do32 + ds_ln2
+    ds_ref[:] = ds.astype(ds_ref.dtype)
+
+    dw1_p = jax.lax.dot_general(                    # n2^T @ dpre
+        n2, dpre, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw2_p = jax.lax.dot_general(                    # h^T @ dm
+        h, dm, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    vec_p = jnp.stack([
+        jnp.sum(g * xhat1, axis=0),            # ds1
+        jnp.sum(g, axis=0),                    # db1n
+        jnp.sum(dn2 * xhat2, axis=0),          # ds2
+        jnp.sum(dn2, axis=0),                  # db2
+        jnp.sum(do32, axis=0),                 # dbw2
+    ])
+    db1_p = jnp.sum(dpre32, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_s[:, :] = dw1_p
+        dw2_s[:, :] = dw2_p
+        vec_s[0:5, :C] = vec_p
+        vec_s[5:6, :hidden] = db1_p
+
+    @pl.when(i > 0)
+    def _():
+        dw1_s[:, :] = dw1_s[:, :] + dw1_p
+        dw2_s[:, :] = dw2_s[:, :] + dw2_p
+        vec_s[0:5, :C] = vec_s[0:5, :C] + vec_p
+        vec_s[5:6, :hidden] = vec_s[5:6, :hidden] + db1_p
+
+    @pl.when(i == n - 1)
+    def _():
+        dw1_ref[:, :] = dw1_s[:, :]
+        dw2_ref[:, :] = dw2_s[:, :]
+        ds1_ref[0, :] = vec_s[0, :C]
+        db1n_ref[0, :] = vec_s[1, :C]
+        ds2_ref[0, :] = vec_s[2, :C]
+        db2_ref[0, :] = vec_s[3, :C]
+        dbw2_ref[0, :] = vec_s[4, :C]
+        db1_ref[0, :] = vec_s[5, :hidden]
+
+
+def fused_epilogue_bwd(x, y, s2, b2, w1, b1, w2, bw2, s1, g,
+                       gelu_exact=True, eps=1e-5, interpret=False):
+    """Fused backward for the whole-epilogue kernel (single-h-block
+    configs: the resident-weight case `_pick_h_block` chooses for stage 1).
+    x, y, g: (..., C). Returns (ds, ds2, db2, dw1, db1, dw2, dbw2, ds1,
+    db1n) with ds = dx = dy in x.dtype and weight grads fp32."""
+    *lead, C = x.shape
+    x2d = x.reshape(-1, C)
+    y2d = y.reshape(-1, C)
+    g2d = g.reshape(-1, C)
+    R = x2d.shape[0]
+    hidden = w1.shape[1]
+    isz = jnp.dtype(x.dtype).itemsize
+
+    # row tile sized against the ~110MB VMEM: the resident weights + fp32
+    # dw accumulators are fixed (2*C*h*isz + 8*C*h); per-row cost is the
+    # 4 double-buffered (tk, C) streams + the fp32 hidden-dim temporaries
+    # (pre/dh/dpre + bf16 h) + C-wide fp32 temps. At stage-2 size tk=512
+    # measured 108MB on-stack (over the limit); tk=256 fits.
+    resident = C * hidden * (2 * isz + 8)
+    per_row = 4 * C * isz * 2 + 3 * hidden * 4 + hidden * isz + 8 * C * 4
+    # Mosaic's actual on-stack allocation runs ~1.5x this static estimate
+    # (measured: stage-2 tk=256 estimated 74MB, compiled to 100.85MB), so
+    # the budget is set conservatively: stage-1 keeps tk=512 (est 38MB,
+    # fits the 100MB limit), stage-2 drops to tk=128.
+    tk = None
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if R % cand == 0 and resident + cand * per_row <= 64 * 1024 * 1024:
+            tk = cand
+            break
+    assert tk is not None, (R, C, hidden)
+
+    row = pl.BlockSpec((tk, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const = lambda i: (0, 0)
+    outs = pl.pallas_call(
+        functools.partial(_epi_bwd_kernel, eps=eps, gelu_exact=gelu_exact),
+        grid=(R // tk,),
+        in_specs=[
+            row, row, row,
+            pl.BlockSpec((2, C), const, memory_space=pltpu.VMEM),   # s2,b2
+            pl.BlockSpec((C, hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),   # s1
+        ],
+        out_specs=(
+            row,
+            pl.BlockSpec((C, hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, C), x.dtype),          # ds
+            jax.ShapeDtypeStruct((C, hidden), jnp.float32),  # dw1
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),  # db1
+            jax.ShapeDtypeStruct((hidden, C), jnp.float32),  # dw2
+            jax.ShapeDtypeStruct((1, C), jnp.float32),       # dbw2
+            jax.ShapeDtypeStruct((1, C), jnp.float32),       # ds1
+            jax.ShapeDtypeStruct((1, C), jnp.float32),       # db1n
+            jax.ShapeDtypeStruct((1, C), jnp.float32),       # ds2
+            jax.ShapeDtypeStruct((1, C), jnp.float32),       # db2
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C, hidden), jnp.float32),
+            pltpu.VMEM((hidden, C), jnp.float32),
+            pltpu.VMEM((6, max(C, hidden)), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x2d, y2d, g2d,
+      jnp.stack([s2, b2]).astype(jnp.float32),
+      w1.astype(x.dtype), b1[None].astype(jnp.float32),
+      w2.astype(x.dtype), bw2[None].astype(jnp.float32),
+      s1[None].astype(jnp.float32))
+    (ds, dw1, db1, dw2, dbw2, ds1, db1n, ds2, db2) = outs
+    return (ds.reshape(*lead, C), ds2[0], db2[0], dw1, db1[0], dw2,
+            dbw2[0], ds1[0], db1n[0])
+
+
+def _epilogue_bwd_applicable(x, w1, dtype):
+    """The fused backward keeps the WHOLE hidden dim + both weight-grad
+    accumulators VMEM-resident. That fits stage 1 (C=512, h=2048: weights
+    2MB + dw scratches 16MB; measured 17.0 vs 29.3 ms for the XLA vjp at
+    full-row size). Stage 2 (C=1024, h=4096) does NOT fit in practice:
+    weights 16.8MB + 32MB scratches + the two (C, h) fp32 partial-grad
+    values put the Mosaic stack at 100.9-106.9MB against the ~100MB scoped
+    ceiling in the full train program (standalone it squeaked through) —
+    measured, so stage 2 stays on the XLA-ref vjp until the kernel learns
+    to stream the weight-grad accumulation."""
+    from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+    C = x.shape[-1]
+    hidden = w1.shape[1]
+    isz = jnp.dtype(dtype).itemsize
+    resident = C * hidden * (2 * isz + 8)
+    return _is_tpu_backend() and resident <= 20 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
 # whole-epilogue kernel: LN1(sum + mlp(LN2(sum))), sum = shortcut + attn
 # ---------------------------------------------------------------------------
 
@@ -433,6 +683,17 @@ def _epis_fwd(x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n, shift, ws,
 
 def _epis_bwd(shift, ws, gelu_exact, eps, interpret, res, g):
     args = res
+    x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n = args
+    if not interpret and _epilogue_bwd_applicable(x, w1, x.dtype):
+        # un-shift y once (one roll), run the fused flat backward, and
+        # shift the y-grad back — the heavy hidden-dim recompute stays in
+        # VMEM; only the two cheap C-wide rolls remain in XLA
+        y = jnp.roll(y_shifted, (shift, shift), axis=(2, 3))
+        (ds, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n) = fused_epilogue_bwd(
+            x, y, s2, b2, w1, b1, w2, bw2, s1, g, gelu_exact, eps)
+        dy_shifted = jnp.roll(ds, (-shift, -shift), axis=(2, 3))
+        grads = (ds, dy_shifted, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n)
+        return tuple(gr.astype(r.dtype) for gr, r in zip(grads, args))
     _, vjp = jax.vjp(
         lambda *a: swin_block_epilogue_shifted_ref(
             *a, shift, gelu_exact, eps), *args)
@@ -452,6 +713,12 @@ def _epi_fwd(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, gelu_exact, eps,
 
 def _epi_bwd(gelu_exact, eps, interpret, res, g):
     args = res
+    x, y, s2, b2, w1, b1, w2, bw2, s1, b1n = args
+    if not interpret and _epilogue_bwd_applicable(x, w1, x.dtype):
+        (ds, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n) = fused_epilogue_bwd(
+            x, y, s2, b2, w1, b1, w2, bw2, s1, g, gelu_exact, eps)
+        grads = (ds, ds, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n)
+        return tuple(gr.astype(r.dtype) for gr, r in zip(grads, args))
     _, vjp = jax.vjp(
         lambda *a: swin_block_epilogue_ref(*a, gelu_exact, eps), *args)
     grads = vjp(g)

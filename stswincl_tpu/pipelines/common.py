@@ -38,6 +38,7 @@ def build_model(model_cfg: ModelConfig, data_cfg: DataConfig):
                              width=model_cfg.swin_dim // 8,
                              dtype=dtype), num_classes
     return TswinPlus(num_classes=num_classes, swin_dim=model_cfg.swin_dim,
+                     swin_depths=tuple(model_cfg.swin_depths),
                      num_heads=model_cfg.num_heads,
                      attn_impl=model_cfg.attn_impl,
                      gelu_exact=model_cfg.gelu_exact, remat=model_cfg.remat,

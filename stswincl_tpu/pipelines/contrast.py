@@ -50,6 +50,7 @@ def run_contrast_pretraining(cfg: ContrastTrainConfig):
                  if cfg.data.dataset == "cadis" else cfg.data.num_classes)
     model = ContrastEncoder(num_classes=class_num,
                             swin_dim=cfg.model.swin_dim,
+                            swin_depths=tuple(cfg.model.swin_depths),
                             num_heads=cfg.model.num_heads,
                             with_instance=cfg.pixpro_ins_loss_weight > 0,
                             dtype=resolve_dtype(cfg.model.dtype))

@@ -167,3 +167,43 @@ def test_epilogue_shifted_matches_ref(rng):
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_fused_epilogue_bwd_matches_ref_vjp(rng):
+    """The fused backward kernel (interpret mode) == jax.vjp of
+    swin_block_epilogue_ref for every input and parameter grad."""
+    from stswincl_tpu.ops.pallas_add_ln_mlp import (
+        fused_epilogue_bwd, swin_block_epilogue_ref)
+
+    R, C = 48, 32
+    hidden = 4 * C
+    x = jnp.asarray(rng.standard_normal((R, C)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((R, C)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((R, C)).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1 + 1)
+    b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+    s1 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1 + 1)
+    b1n = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.standard_normal((C, hidden)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((hidden, C)).astype(np.float32) * 0.1)
+    bw2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+
+    (ds, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n) = fused_epilogue_bwd(
+        x, y, s2, b2, w1, b1, w2, bw2, s1, g, True, 1e-5, True)
+
+    _, vjp = jax.vjp(
+        lambda *a: swin_block_epilogue_ref(*a, True, 1e-5),
+        x, y, s2, b2, w1, b1, w2, bw2, s1, b1n)
+    (rx, ry, rs2, rb2, rw1, rb1, rw2, rbw2, rs1, rb1n) = vjp(g)
+
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ry),
+                               rtol=1e-4, atol=1e-4)
+    for got, want, name in [(ds2, rs2, "ds2"), (db2, rb2, "db2"),
+                            (dw1, rw1, "dw1"), (db1, rb1, "db1"),
+                            (dw2, rw2, "dw2"), (dbw2, rbw2, "dbw2"),
+                            (ds1, rs1, "ds1"), (db1n, rb1n, "db1n")]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
