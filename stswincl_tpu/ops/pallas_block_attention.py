@@ -20,6 +20,14 @@ free). Cyclic shifts stay outside (one cheap roll each way).
 
 Differentiable via custom_vjp: backward = `jax.vjp` of the XLA reference
 implementation (exact same math, recompute-style).
+
+Negative result (r3, measured on v5e): stacking the per-window heads into
+one block-diagonal attention (Q/K/V stacked to (heads*TN, hd), combined
+bias+mask+(-1e9 off-diagonal) precomputed host-side, 2 big matmuls instead
+of 3*heads small ones) is SLOWER — 4.67 vs 3.84 ms at the stage-1
+two-group shape, 3.40 vs 3.34 at stage-2 — the 4x score/pv FLOP waste of
+the off-diagonal blocks outweighs any dispatch savings; Mosaic already
+pipelines the (TN, hd)-sized matmuls well. The per-head loop stays.
 """
 
 from __future__ import annotations
