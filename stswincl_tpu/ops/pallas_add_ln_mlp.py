@@ -394,14 +394,284 @@ def _epilogue_bwd_applicable(x, w1, dtype):
     weights 16.8MB + 32MB scratches + the two (C, h) fp32 partial-grad
     values put the Mosaic stack at 100.9-106.9MB against the ~100MB scoped
     ceiling in the full train program (standalone it squeaked through) —
-    measured, so stage 2 stays on the XLA-ref vjp until the kernel learns
-    to stream the weight-grad accumulation."""
+    measured, so stage 2 takes the h-SLICED backward instead
+    (`fused_epilogue_bwd_streamed`)."""
     from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
     C = x.shape[-1]
     hidden = w1.shape[1]
     isz = jnp.dtype(dtype).itemsize
     resident = C * hidden * (2 * isz + 8)
     return _is_tpu_backend() and resident <= 20 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# h-SLICED epilogue backward (stage-2 shapes: resident set halved per call)
+# ---------------------------------------------------------------------------
+
+def _epi_bwd_slice_kernel(x_ref, y_ref, g_ref, m_ref, s2_ref, s1_ref,
+                          w1_ref, b1_ref, w2_ref, dn2_ref, dw1_ref, db1_ref,
+                          dw2_ref, dw1_s, dw2_s, db1_s, *, eps, gelu_exact):
+    """Backward of ONE hidden slice of the epilogue MLP. Grid (row_tiles,).
+
+    Takes the forward's bf16-rounded MLP output `m` (saved residual) so
+    `do32` is computable without the full hidden sweep — this is what
+    breaks the all-hidden-resident coupling of `_epi_bwd_kernel`: each
+    slice call only holds its own (C, hb)/(hb, C) weights + fp32 grad
+    accumulators (~25MB at stage-2 hb=2048 vs ~50MB for the monolith).
+
+    Outputs: dn2 partial (rows, C) fp32 = dpre_s @ w1_s^T, and the slice's
+    dw1/db1/dw2. LN backs + vector grads live in `_epi_bwd_combine_kernel`.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    s2 = s2_ref[0].astype(jnp.float32)
+    s1 = s1_ref[0].astype(jnp.float32)
+
+    x32 = x_ref[:].astype(jnp.float32)
+    s32 = x32 + y_ref[:].astype(jnp.float32)
+    n2_32, xhat2, rsig2 = _ln_fwd_f32(s32, s2, s2_ref[1].astype(jnp.float32),
+                                      eps)
+    n2 = n2_32.astype(x_ref.dtype)
+    o32 = s32 + m_ref[:].astype(jnp.float32)
+
+    mu1 = jnp.mean(o32, axis=-1, keepdims=True)
+    xc1 = o32 - mu1
+    var1 = jnp.mean(xc1 * xc1, axis=-1, keepdims=True)
+    rsig1 = jax.lax.rsqrt(var1 + eps)
+    xhat1 = xc1 * rsig1
+
+    g = g_ref[:].astype(jnp.float32)
+    do32 = _ln_bwd_f32(g, xhat1, rsig1, s1)
+    dm = do32.astype(x_ref.dtype)
+
+    pre = jnp.dot(n2, w1_ref[:], preferred_element_type=jnp.float32)
+    pre = pre + b1_ref[0].astype(jnp.float32)
+    h = _gelu(pre, gelu_exact).astype(x_ref.dtype)
+    dh = jax.lax.dot_general(                       # dm @ w2_s^T
+        dm, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dpre32 = dh * _gelu_grad(pre, gelu_exact)
+    dpre = dpre32.astype(x_ref.dtype)
+    dn2_ref[:] = jax.lax.dot_general(               # dpre @ w1_s^T
+        dpre, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dw1_p = jax.lax.dot_general(                    # n2^T @ dpre
+        n2, dpre, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw2_p = jax.lax.dot_general(                    # h^T @ dm
+        h, dm, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_p = jnp.sum(dpre32, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_s[:, :] = dw1_p
+        dw2_s[:, :] = dw2_p
+        db1_s[:, :] = db1_p
+
+    @pl.when(i > 0)
+    def _():
+        dw1_s[:, :] = dw1_s[:, :] + dw1_p
+        dw2_s[:, :] = dw2_s[:, :] + dw2_p
+        db1_s[:, :] = db1_s[:, :] + db1_p
+
+    @pl.when(i == n - 1)
+    def _():
+        dw1_ref[:, :] = dw1_s[:, :]
+        dw2_ref[:, :] = dw2_s[:, :]
+        db1_ref[:, :] = db1_s[:, :]
+
+
+def _epi_bwd_combine_kernel(x_ref, y_ref, g_ref, m_ref, s2_ref, s1_ref,
+                            dn2_ref, ds_ref, ds1_ref, db1n_ref, ds2_ref,
+                            db2_ref, dbw2_ref, vec_s, *, eps, gelu_exact):
+    """Final pass: LN2 backward of the summed dn2 + the vector grads.
+    Grid (row_tiles,). ds = do32 + ln2_bwd(dn2)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    C = x_ref.shape[1]
+
+    s2 = s2_ref[0].astype(jnp.float32)
+    s1 = s1_ref[0].astype(jnp.float32)
+
+    x32 = x_ref[:].astype(jnp.float32)
+    s32 = x32 + y_ref[:].astype(jnp.float32)
+    _, xhat2, rsig2 = _ln_fwd_f32(s32, s2, s2_ref[1].astype(jnp.float32),
+                                  eps)
+    o32 = s32 + m_ref[:].astype(jnp.float32)
+
+    mu1 = jnp.mean(o32, axis=-1, keepdims=True)
+    xc1 = o32 - mu1
+    var1 = jnp.mean(xc1 * xc1, axis=-1, keepdims=True)
+    rsig1 = jax.lax.rsqrt(var1 + eps)
+    xhat1 = xc1 * rsig1
+
+    g = g_ref[:].astype(jnp.float32)
+    do32 = _ln_bwd_f32(g, xhat1, rsig1, s1)
+    dn2 = dn2_ref[:]
+    ds = do32 + _ln_bwd_f32(dn2, xhat2, rsig2, s2)
+    ds_ref[:] = ds.astype(ds_ref.dtype)
+
+    vec_p = jnp.stack([
+        jnp.sum(g * xhat1, axis=0),            # ds1
+        jnp.sum(g, axis=0),                    # db1n
+        jnp.sum(dn2 * xhat2, axis=0),          # ds2
+        jnp.sum(dn2, axis=0),                  # db2
+        jnp.sum(do32, axis=0),                 # dbw2
+    ])
+
+    @pl.when(i == 0)
+    def _():
+        vec_s[:, :] = vec_p
+
+    @pl.when(i > 0)
+    def _():
+        vec_s[:, :] = vec_s[:, :] + vec_p
+
+    @pl.when(i == n - 1)
+    def _():
+        ds1_ref[0, :] = vec_s[0, :]
+        db1n_ref[0, :] = vec_s[1, :]
+        ds2_ref[0, :] = vec_s[2, :]
+        db2_ref[0, :] = vec_s[3, :]
+        dbw2_ref[0, :] = vec_s[4, :]
+
+
+def fused_epilogue_bwd_streamed(x, y, s2, b2, w1, b1, w2, bw2, s1, g, m,
+                                gelu_exact=True, eps=1e-5, n_slices=2,
+                                interpret=False):
+    """h-sliced fused backward for shapes whose weights + grad accumulators
+    don't fit VMEM at once (stage 2: C=1024, hidden=4096). Needs the
+    forward's bf16-rounded MLP output `m` (one extra (rows, C) residual —
+    the reference math rounds m to the model dtype before the second
+    residual add, so saving it loses nothing). Same returns as
+    `fused_epilogue_bwd`."""
+    *lead, C = x.shape
+    x2d = x.reshape(-1, C)
+    y2d = y.reshape(-1, C)
+    g2d = g.reshape(-1, C)
+    m2d = m.reshape(-1, C)
+    R = x2d.shape[0]
+    hidden = w1.shape[1]
+    assert hidden % n_slices == 0
+    hb = hidden // n_slices
+    isz = jnp.dtype(x.dtype).itemsize
+
+    resident = C * hb * (2 * isz + 8)
+    per_row = 5 * C * isz * 2 + 3 * hb * 4 + hb * isz + 8 * C * 4
+    tk = None
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if R % cand == 0 and resident + cand * per_row <= 64 * 1024 * 1024:
+            tk = cand
+            break
+    assert tk is not None, (R, C, hidden)
+
+    row = pl.BlockSpec((tk, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const = lambda i: (0, 0)
+    s2b2 = jnp.stack([s2, b2]).astype(jnp.float32)
+    s1r = s1[None].astype(jnp.float32)
+
+    dn2 = None
+    dw1_parts, db1_parts, dw2_parts = [], [], []
+    for sl in range(n_slices):
+        w1_s = jax.lax.slice_in_dim(w1, sl * hb, (sl + 1) * hb, axis=1)
+        b1_s = jax.lax.slice_in_dim(b1, sl * hb, (sl + 1) * hb, axis=0)
+        w2_s = jax.lax.slice_in_dim(w2, sl * hb, (sl + 1) * hb, axis=0)
+        outs = pl.pallas_call(
+            functools.partial(_epi_bwd_slice_kernel, eps=eps,
+                              gelu_exact=gelu_exact),
+            grid=(R // tk,),
+            in_specs=[
+                row, row, row, row,
+                pl.BlockSpec((2, C), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, hb), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((hb, C), const, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tk, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, hb), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((hb, C), const, memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((R, C), jnp.float32),       # dn2 part
+                jax.ShapeDtypeStruct((C, hb), jnp.float32),      # dw1 slice
+                jax.ShapeDtypeStruct((1, hb), jnp.float32),      # db1 slice
+                jax.ShapeDtypeStruct((hb, C), jnp.float32),      # dw2 slice
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((C, hb), jnp.float32),
+                pltpu.VMEM((hb, C), jnp.float32),
+                pltpu.VMEM((1, hb), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(x2d, y2d, g2d, m2d, s2b2, s1r,
+          w1_s.astype(x.dtype), b1_s[None].astype(jnp.float32),
+          w2_s.astype(x.dtype))
+        dn2_p, dw1_p, db1_p, dw2_p = outs
+        dn2 = dn2_p if dn2 is None else dn2 + dn2_p
+        dw1_parts.append(dw1_p)
+        db1_parts.append(db1_p[0])
+        dw2_parts.append(dw2_p)
+
+    outs = pl.pallas_call(
+        functools.partial(_epi_bwd_combine_kernel, eps=eps,
+                          gelu_exact=gelu_exact),
+        grid=(R // tk,),
+        in_specs=[
+            row, row, row, row,
+            pl.BlockSpec((2, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            row,
+        ],
+        out_specs=(
+            pl.BlockSpec((tk, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, C), x.dtype),               # ds
+            jax.ShapeDtypeStruct((1, C), jnp.float32),           # ds1
+            jax.ShapeDtypeStruct((1, C), jnp.float32),           # db1n
+            jax.ShapeDtypeStruct((1, C), jnp.float32),           # ds2
+            jax.ShapeDtypeStruct((1, C), jnp.float32),           # db2
+            jax.ShapeDtypeStruct((1, C), jnp.float32),           # dbw2
+        ),
+        scratch_shapes=[pltpu.VMEM((5, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x2d, y2d, g2d, m2d, s2b2, s1r, dn2)
+    ds, ds1, db1n, ds2, db2, dbw2 = outs
+
+    dw1 = jnp.concatenate(dw1_parts, axis=1)
+    db1 = jnp.concatenate(db1_parts, axis=0)
+    dw2 = jnp.concatenate(dw2_parts, axis=0)
+    return (ds.reshape(*lead, C), ds2[0], db2[0], dw1, db1, dw2,
+            dbw2[0], ds1[0], db1n[0])
+
+
+def _epilogue_bwd_streamed_applicable(x, w1, dtype):
+    """Stage-2-class shapes: monolithic backward doesn't fit, but halving
+    the hidden dim per call does (hb=2048: ~25MB resident vs ~50MB)."""
+    from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+    C = x.shape[-1]
+    hidden = w1.shape[1]
+    isz = jnp.dtype(dtype).itemsize
+    resident = C * hidden * (2 * isz + 8)
+    half = resident // 2
+    return (_is_tpu_backend() and resident > 20 * 1024 * 1024
+            and hidden % 2 == 0 and half <= 32 * 1024 * 1024)
 
 
 # ---------------------------------------------------------------------------
@@ -454,6 +724,103 @@ def _epilogue_kernel(x_ref, y_ref, s2_ref, b2_ref, w1_ref, b1_ref, w2_ref,
         n = xc * jax.lax.rsqrt(var + eps)
         n = n * s1_ref[0].astype(jnp.float32) + b1n_ref[0].astype(jnp.float32)
         out_ref[:] = n.astype(out_ref.dtype)
+
+
+def _epilogue_kernel_with_m(x_ref, y_ref, s2_ref, b2_ref, w1_ref, b1_ref,
+                            w2_ref, bw2_ref, s1_ref, b1n_ref, out_ref, m_ref,
+                            xn, sum32, acc, *, eps, gelu_exact):
+    """`_epilogue_kernel` that ALSO writes the bf16-rounded MLP output `m`
+    (the residual the h-sliced backward needs). Kept separate so the
+    inference path pays nothing."""
+    hb_idx = pl.program_id(1)
+    n_hb = pl.num_programs(1)
+
+    @pl.when(hb_idx == 0)
+    def _():
+        s32 = x_ref[:].astype(jnp.float32) + y_ref[:].astype(jnp.float32)
+        sum32[:] = s32
+        mu = jnp.mean(s32, axis=-1, keepdims=True)
+        xc = s32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        n = xc * jax.lax.rsqrt(var + eps)
+        n = n * s2_ref[0].astype(jnp.float32) + b2_ref[0].astype(jnp.float32)
+        xn[:] = n.astype(xn.dtype)
+
+    h = jnp.dot(xn[:], w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = _gelu(h, gelu_exact)
+    part = jnp.dot(h.astype(xn.dtype), w2_ref[:],
+                   preferred_element_type=jnp.float32)
+
+    @pl.when(hb_idx == 0)
+    def _():
+        acc[:] = part + bw2_ref[0].astype(jnp.float32)
+
+    @pl.when(hb_idx > 0)
+    def _():
+        acc[:] = acc[:] + part
+
+    @pl.when(hb_idx == n_hb - 1)
+    def _():
+        m = acc[:].astype(m_ref.dtype)
+        m_ref[:] = m
+        # match the reference math: the residual add consumes the ROUNDED
+        # m (swin_block_epilogue_ref: out32 = s32 + m.astype(f32)) so the
+        # saved residual reproduces the backward's o32 exactly
+        s32 = sum32[:] + m.astype(jnp.float32)
+        mu = jnp.mean(s32, axis=-1, keepdims=True)
+        xc = s32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        n = xc * jax.lax.rsqrt(var + eps)
+        n = n * s1_ref[0].astype(jnp.float32) + b1n_ref[0].astype(jnp.float32)
+        out_ref[:] = n.astype(out_ref.dtype)
+
+
+def _fused_epilogue_fwd_with_m(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n,
+                               gelu_exact=True, eps=1e-5, interpret=False):
+    """Forward epilogue that also returns the bf16-rounded MLP output `m`
+    for the h-sliced backward. Same routing constants as the main kernel."""
+    *lead, C = x.shape
+    x2d = x.reshape(-1, C)
+    y2d = y.reshape(-1, C)
+    R = x2d.shape[0]
+    hidden = w1.shape[1]
+    isz = jnp.dtype(x.dtype).itemsize
+    hb = _pick_h_block(hidden, C, isz)
+    w_bytes = (1 if hb == hidden else 2) * 2 * C * hb * isz
+    tk = _pick_row_tile_epi(R, C, hb, isz, w_bytes, hidden)
+
+    row_spec = pl.BlockSpec((tk, C), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vec_c = pl.BlockSpec((1, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    out, m = pl.pallas_call(
+        functools.partial(_epilogue_kernel_with_m, eps=eps,
+                          gelu_exact=gelu_exact),
+        grid=(R // tk, hidden // hb),
+        in_specs=[
+            row_spec, row_spec, vec_c, vec_c,
+            pl.BlockSpec((C, hb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, C), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            vec_c, vec_c, vec_c,
+        ],
+        out_specs=(row_spec, row_spec),
+        out_shape=(jax.ShapeDtypeStruct(x2d.shape, x.dtype),
+                   jax.ShapeDtypeStruct(x2d.shape, x.dtype)),
+        scratch_shapes=[pltpu.VMEM((tk, C), x.dtype),
+                        pltpu.VMEM((tk, C), jnp.float32),
+                        pltpu.VMEM((tk, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(x2d, y2d, s2[None].astype(jnp.float32), b2[None].astype(jnp.float32),
+      w1.astype(x.dtype), b1[None].astype(jnp.float32), w2.astype(x.dtype),
+      bw2[None].astype(jnp.float32), s1[None].astype(jnp.float32),
+      b1n[None].astype(jnp.float32))
+    return out.reshape(*lead, C), m.reshape(*lead, C)
 
 
 # (C, hidden) configs verified on-device to compile AND run faster at the
@@ -675,24 +1042,39 @@ def fused_swin_block_epilogue_shifted(x, y_shifted, s2, b2, w1, b1, w2, bw2,
 
 def _epis_fwd(x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n, shift, ws,
               gelu_exact, eps, interpret):
+    if not interpret and _epilogue_bwd_streamed_applicable(x, w1, x.dtype):
+        # stage-2-class shape: run the m-emitting forward on the unshifted
+        # y (one roll) so the h-sliced backward has its residual
+        y = jnp.roll(y_shifted, (shift, shift), axis=(2, 3))
+        out, m = _fused_epilogue_fwd_with_m(
+            x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, gelu_exact, eps)
+        return out, (x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n, m)
     out = fused_swin_block_epilogue_shifted(
         x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n, shift, ws,
         gelu_exact, eps, interpret)
-    return out, (x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n)
+    return out, (x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n, None)
 
 
 def _epis_bwd(shift, ws, gelu_exact, eps, interpret, res, g):
-    args = res
-    x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n = args
+    x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n, m = res
+    args = (x, y_shifted, s2, b2, w1, b1, w2, bw2, s1, b1n)
+    if m is not None:
+        y = jnp.roll(y_shifted, (shift, shift), axis=(2, 3))
+        (ds, ds2, db2, dw1, db1, dw2, dbw2, ds1,
+         db1n_g) = fused_epilogue_bwd_streamed(
+            x, y, s2, b2, w1, b1, w2, bw2, s1, g, m, gelu_exact, eps)
+        dy_shifted = jnp.roll(ds, (-shift, -shift), axis=(2, 3))
+        grads = (ds, dy_shifted, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n_g)
+        return tuple(gr.astype(r.dtype) for gr, r in zip(grads, args))
     if not interpret and _epilogue_bwd_applicable(x, w1, x.dtype):
         # un-shift y once (one roll), run the fused flat backward, and
         # shift the y-grad back — the heavy hidden-dim recompute stays in
         # VMEM; only the two cheap C-wide rolls remain in XLA
         y = jnp.roll(y_shifted, (shift, shift), axis=(2, 3))
-        (ds, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n) = fused_epilogue_bwd(
+        (ds, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n_g) = fused_epilogue_bwd(
             x, y, s2, b2, w1, b1, w2, bw2, s1, g, gelu_exact, eps)
         dy_shifted = jnp.roll(ds, (-shift, -shift), axis=(2, 3))
-        grads = (ds, dy_shifted, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n)
+        grads = (ds, dy_shifted, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n_g)
         return tuple(gr.astype(r.dtype) for gr, r in zip(grads, args))
     _, vjp = jax.vjp(
         lambda *a: swin_block_epilogue_shifted_ref(
@@ -706,18 +1088,28 @@ fused_swin_block_epilogue_shifted.defvjp(_epis_fwd, _epis_bwd)
 
 def _epi_fwd(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, gelu_exact, eps,
              interpret):
+    if not interpret and _epilogue_bwd_streamed_applicable(x, w1, x.dtype):
+        out, m = _fused_epilogue_fwd_with_m(
+            x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, gelu_exact, eps)
+        return out, (x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, m)
     out = fused_swin_block_epilogue(x, y, s2, b2, w1, b1, w2, bw2, s1, b1n,
                                     gelu_exact, eps, interpret)
-    return out, (x, y, s2, b2, w1, b1, w2, bw2, s1, b1n)
+    return out, (x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, None)
 
 
 def _epi_bwd(gelu_exact, eps, interpret, res, g):
-    args = res
-    x, y, s2, b2, w1, b1, w2, bw2, s1, b1n = args
+    x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, m = res
+    args = (x, y, s2, b2, w1, b1, w2, bw2, s1, b1n)
+    if m is not None:
+        (ds, ds2, db2, dw1, db1, dw2, dbw2, ds1,
+         db1n_g) = fused_epilogue_bwd_streamed(
+            x, y, s2, b2, w1, b1, w2, bw2, s1, g, m, gelu_exact, eps)
+        grads = (ds, ds, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n_g)
+        return tuple(gr.astype(r.dtype) for gr, r in zip(grads, args))
     if not interpret and _epilogue_bwd_applicable(x, w1, x.dtype):
-        (ds, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n) = fused_epilogue_bwd(
+        (ds, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n_g) = fused_epilogue_bwd(
             x, y, s2, b2, w1, b1, w2, bw2, s1, g, gelu_exact, eps)
-        grads = (ds, ds, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n)
+        grads = (ds, ds, ds2, db2, dw1, db1, dw2, dbw2, ds1, db1n_g)
         return tuple(gr.astype(r.dtype) for gr, r in zip(grads, args))
     _, vjp = jax.vjp(
         lambda *a: swin_block_epilogue_ref(*a, gelu_exact, eps), *args)

@@ -207,3 +207,52 @@ def test_fused_epilogue_bwd_matches_ref_vjp(rng):
                             (ds1, rs1, "ds1"), (db1n, rb1n, "db1n")]:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_fused_epilogue_bwd_streamed_matches_ref_vjp(rng):
+    """The h-sliced backward (interpret, n_slices=2) == jax.vjp of
+    swin_block_epilogue_ref, given the forward's rounded MLP output m."""
+    from stswincl_tpu.ops.pallas_add_ln_mlp import (
+        fused_epilogue_bwd_streamed, swin_block_epilogue_ref,
+        _fused_epilogue_fwd_with_m)
+
+    R, C = 48, 32
+    hidden = 4 * C
+    x = jnp.asarray(rng.standard_normal((R, C)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((R, C)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((R, C)).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1 + 1)
+    b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+    s1 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1 + 1)
+    b1n = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.standard_normal((C, hidden)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((hidden, C)).astype(np.float32) * 0.1)
+    bw2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+
+    # the m-emitting forward must agree with the ref AND hand back the
+    # rounded mlp output the sliced backward consumes
+    out, m = _fused_epilogue_fwd_with_m(
+        x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, True, 1e-5, True)
+    ref_out = swin_block_epilogue_ref(
+        x, y, s2, b2, w1, b1, w2, bw2, s1, b1n, True, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-4)
+
+    (ds, ds2, db2, dw1, db1, dw2, dbw2, ds1,
+     db1n_g) = fused_epilogue_bwd_streamed(
+        x, y, s2, b2, w1, b1, w2, bw2, s1, g, m, True, 1e-5, 2, True)
+
+    _, vjp = jax.vjp(
+        lambda *a: swin_block_epilogue_ref(*a, True, 1e-5),
+        x, y, s2, b2, w1, b1, w2, bw2, s1, b1n)
+    (rx, ry, rs2, rb2, rw1, rb1, rw2, rbw2, rs1, rb1n) = vjp(g)
+
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+    for got, want, name in [(ds2, rs2, "ds2"), (db2, rb2, "db2"),
+                            (dw1, rw1, "dw1"), (db1, rb1, "db1"),
+                            (dw2, rw2, "dw2"), (dbw2, rbw2, "dbw2"),
+                            (ds1, rs1, "ds1"), (db1n_g, rb1n, "db1n")]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
