@@ -335,6 +335,217 @@ def fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
       bias_tiled, mask_tiled)
 
 
+def _full_bwd_kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref,
+                     mask_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                     dbproj_ref, dbias_ref, qkv_scr, dqkv_scr, attn_scr,
+                     dflat_scr, dwqkv_s, dwproj_s, dbias_s, dbqkv_s,
+                     dbproj_s, *, heads, scale, ws, single_mask,
+                     qkv_chunks):
+    """Fused backward of the whole attention sub-block for one window row:
+    recompute qkv + per-window/head attention in VMEM, then emit every
+    gradient — dx in image layout plus fp32 weight/bias/relative-bias
+    accumulators carried across the sequential (B, nH) grid. Replaces the
+    XLA vjp of the einsum reference, whose window-partition transposes ran
+    as ~1.5 ms layout copies per block in the train trace (~12 of them per
+    step at stage-1 serving shape).
+
+    x_ref/g_ref/dx_ref: (1, T, ws, W, C) — x pre-shifted for SW blocks (g
+    arrives in the shifted layout the forward emits, so the two line up);
+    scratch: qkv/dqkv (T, ws, W, 3C), attn (T, ws, W, C); accumulators
+    dwqkv_s (C, 3C), dwproj_s (C, C), dbias_s (heads, TN, TN), dbqkv_s
+    (1, 3C), dbproj_s (1, C).
+    """
+    cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    n_cells = pl.num_programs(0) * pl.num_programs(1)
+    _, T, _, Wd, C = x_ref.shape
+    hd = C // heads
+    nW = Wd // ws
+    TN = T * ws * ws
+    rows = T * ws * Wd
+
+    x = x_ref[0].reshape(rows, C)
+    g = g_ref[0].reshape(rows, C)
+
+    # recompute qkv into the 4D scratch, per frame-slab when chunked (the
+    # fp32 intermediate stays small; same policy as the forward kernel)
+    assert T % qkv_chunks == 0
+    tc = T // qkv_chunks
+    for i in range(qkv_chunks):
+        sl = x_ref[0, i * tc:(i + 1) * tc].reshape(tc * ws * Wd, C)
+        part = jnp.dot(sl, wqkv_ref[:], preferred_element_type=jnp.float32)
+        part = (part + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+        qkv_scr[i * tc:(i + 1) * tc] = part.reshape(tc, ws, Wd, 3 * C)
+
+    # d(attn_row) = g @ wproj^T
+    dflat_scr[...] = jax.lax.dot_general(
+        g, wproj_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype).reshape(
+        T, ws, Wd, C)
+
+    dbias_acc = [None] * heads
+    for j in range(nW):
+        win = qkv_scr[:, :, j * ws:(j + 1) * ws, :].reshape(TN, 3 * C)
+        dfw = dflat_scr[:, :, j * ws:(j + 1) * ws, :].reshape(TN, C)
+        mask = mask_ref[0 if single_mask else j].astype(jnp.float32)
+        o_heads, dq_heads, dk_heads, dv_heads = [], [], [], []
+        for h in range(heads):
+            q_s = win[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+            k = win[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+            v = win[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+            scores = jax.lax.dot_general(
+                q_s, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            scores = scores + bias_ref[h].astype(jnp.float32) + mask
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+            do = dfw[:, h * hd:(h + 1) * hd]
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            o_heads.append(o.astype(x.dtype))
+            dv = jax.lax.dot_general(                    # p^T @ do
+                p.astype(x.dtype), do,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(                    # do @ v^T
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dsc = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dbias_acc[h] = dsc if dbias_acc[h] is None else dbias_acc[h] + dsc
+
+            dscb = dsc.astype(x.dtype)
+            dq = jnp.dot(dscb, k.astype(x.dtype),
+                         preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(                    # dsc^T @ q_s
+                dscb, q_s.astype(x.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq_heads.append(dq.astype(x.dtype))
+            dk_heads.append(dk.astype(x.dtype))
+            dv_heads.append(dv.astype(x.dtype))
+        attn_scr[:, :, j * ws:(j + 1) * ws, :] = jnp.concatenate(
+            o_heads, axis=-1).reshape(T, ws, ws, C)
+        dqkv_scr[:, :, j * ws:(j + 1) * ws, :] = jnp.concatenate(
+            dq_heads + dk_heads + dv_heads, axis=-1).reshape(T, ws, ws,
+                                                             3 * C)
+
+    dqkv_flat = dqkv_scr[...].reshape(rows, 3 * C)
+    dx = jax.lax.dot_general(                            # dqkv @ wqkv^T
+        dqkv_flat, wqkv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype).reshape(T, ws, Wd, C)
+
+    dwqkv_p = jax.lax.dot_general(                       # x^T @ dqkv
+        x, dqkv_flat, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwproj_p = jax.lax.dot_general(                      # attn_row^T @ g
+        attn_scr[...].reshape(rows, C), g,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbias_p = jnp.stack(dbias_acc)
+    dbqkv_p = jnp.sum(dqkv_flat.astype(jnp.float32), axis=0,
+                      keepdims=True)
+    dbproj_p = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(cell == 0)
+    def _():
+        dwqkv_s[:, :] = dwqkv_p
+        dwproj_s[:, :] = dwproj_p
+        dbias_s[:, :, :] = dbias_p
+        dbqkv_s[:, :] = dbqkv_p
+        dbproj_s[:, :] = dbproj_p
+
+    @pl.when(cell > 0)
+    def _():
+        dwqkv_s[:, :] = dwqkv_s[:, :] + dwqkv_p
+        dwproj_s[:, :] = dwproj_s[:, :] + dwproj_p
+        dbias_s[:, :, :] = dbias_s[:, :, :] + dbias_p
+        dbqkv_s[:, :] = dbqkv_s[:, :] + dbqkv_p
+        dbproj_s[:, :] = dbproj_s[:, :] + dbproj_p
+
+    @pl.when(cell == n_cells - 1)
+    def _():
+        dwqkv_ref[:, :] = dwqkv_s[:, :]
+        dwproj_ref[:, :] = dwproj_s[:, :]
+        dbias_ref[:, :, :] = dbias_s[:, :, :]
+        dbqkv_ref[:, :] = dbqkv_s[:, :]
+        dbproj_ref[:, :] = dbproj_s[:, :]
+
+
+def fused_swin_block_attention_bwd(x, wqkv, bqkv, wproj, bias_tiled,
+                                   mask_tiled, g, heads, scale, ws,
+                                   interpret=False):
+    """Backward of the fully fused attention sub-block (shift handled by
+    the caller: x and g must be in the SAME (shifted) layout). Returns
+    (dx, dwqkv, dbqkv, dwproj, dbproj, dbias_tiled) — mask gets no grad
+    (it is a constant table upstream)."""
+    B, T, H, W, C = x.shape
+    nH, nW = H // ws, W // ws
+    TN = T * ws * ws
+    n_mask = mask_tiled.shape[0]
+    single_mask = n_mask == 1
+
+    if single_mask:
+        mask_spec = pl.BlockSpec((1, TN, TN), lambda b, i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((nW, TN, TN), lambda b, i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    const = lambda b, i: (0, 0)
+    band = pl.BlockSpec((1, T, ws, W, C), lambda b, i: (b, 0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rows = T * ws * W
+    outs = pl.pallas_call(
+        functools.partial(_full_bwd_kernel, heads=heads, scale=scale, ws=ws,
+                          single_mask=single_mask, qkv_chunks=1),
+        grid=(B, nH),
+        in_specs=[
+            band, band,
+            pl.BlockSpec((C, 3 * C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, TN, TN), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            mask_spec,
+        ],
+        out_specs=(
+            band,
+            pl.BlockSpec((C, 3 * C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, TN, TN), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),               # dx
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),        # dwqkv
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),        # dbqkv
+            jax.ShapeDtypeStruct((C, C), jnp.float32),            # dwproj
+            jax.ShapeDtypeStruct((1, C), jnp.float32),            # dbproj
+            jax.ShapeDtypeStruct((heads, TN, TN), jnp.float32),   # dbias
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((T, ws, W, 3 * C), x.dtype),   # qkv
+            pltpu.VMEM((T, ws, W, 3 * C), x.dtype),   # dqkv
+            pltpu.VMEM((T, ws, W, C), x.dtype),       # attn_row
+            pltpu.VMEM((T, ws, W, C), x.dtype),       # dflat
+            pltpu.VMEM((C, 3 * C), jnp.float32),
+            pltpu.VMEM((C, C), jnp.float32),
+            pltpu.VMEM((heads, TN, TN), jnp.float32),
+            pltpu.VMEM((1, 3 * C), jnp.float32),
+            pltpu.VMEM((1, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, g, wqkv.astype(x.dtype), bqkv[None].astype(jnp.float32),
+      wproj.astype(x.dtype), bias_tiled, mask_tiled)
+    dx, dwqkv, dbqkv, dwproj, dbproj, dbias = outs
+    return dx, dwqkv, dbqkv[0], dwproj, dbproj[0], dbias
+
+
 def _fsba_fwd(x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled,
               heads, scale, ws, shift, interpret):
     out = fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
@@ -345,6 +556,23 @@ def _fsba_fwd(x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled,
 
 def _fsba_bwd(heads, scale, ws, shift, interpret, res, g):
     x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled = res
+    from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+    if not interpret and _is_tpu_backend():
+        # the kernel needs x and g in the same layout: for the roll-free SW
+        # path the forward consumed unshifted x and emitted shifted out, so
+        # shift x here (one roll) and un-shift dx (a second) — still far
+        # cheaper than the einsum vjp's partition transposes
+        xs = jnp.roll(x, (-shift, -shift), axis=(2, 3)) if shift else x
+        dx, dwqkv, dbqkv, dwproj, dbproj, dbias = \
+            fused_swin_block_attention_bwd(
+                xs, wqkv, bqkv, wproj, bias_tiled, mask_tiled, g,
+                heads, scale, ws)
+        if shift:
+            dx = jnp.roll(dx, (shift, shift), axis=(2, 3))
+        return (dx.astype(x.dtype), dwqkv.astype(wqkv.dtype),
+                dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+                dbproj.astype(bproj.dtype), dbias.astype(bias_tiled.dtype),
+                jnp.zeros_like(mask_tiled))
     _, vjp = jax.vjp(
         lambda a, b, c, d, e, f, m: fused_swin_block_attention_ref(
             a, b, c, d, e, f, m, heads, scale, ws, shift),
@@ -353,6 +581,7 @@ def _fsba_bwd(heads, scale, ws, shift, interpret, res, g):
 
 
 fused_swin_block_attention.defvjp(_fsba_fwd, _fsba_bwd)
+
 
 
 def _wai_fwd(qkv, bias_tiled, mask_tiled, heads, scale, ws, interpret):

@@ -273,3 +273,105 @@ def test_full_stack_shift_in_kernel_matches_einsum(rng, monkeypatch):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s2_p), np.asarray(s2_e),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_full_bwd_kernel_matches_ref_vjp(rng):
+    """`fused_swin_block_attention_bwd` (interpret) == jax.vjp of the
+    reference for dx and every weight/bias/relative-bias grad, for both
+    the plain (W-MSA) and masked (SW-MSA) cases."""
+    from stswincl_tpu.ops.pallas_block_attention import (
+        fused_swin_block_attention_bwd, fused_swin_block_attention_ref)
+
+    for with_mask in (False, True):
+        B, T, H, W, C, heads, ws = 2, 2, 8, 12, 32, 2, 4
+        TN = T * ws * ws
+        scale = (C // heads) ** -0.5
+        x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(
+            np.float32) * 0.3)
+        g = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(
+            np.float32) * 0.3)
+        wqkv = jnp.asarray(
+            rng.standard_normal((C, 3 * C)).astype(np.float32) * 0.1)
+        bqkv = jnp.asarray(
+            rng.standard_normal(3 * C).astype(np.float32) * 0.1)
+        wproj = jnp.asarray(
+            rng.standard_normal((C, C)).astype(np.float32) * 0.1)
+        bproj = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        bias = jnp.asarray(
+            rng.standard_normal((heads, TN, TN)).astype(np.float32) * 0.1)
+        if with_mask:
+            n_mask = (H // ws) * (W // ws)
+            mask = jnp.asarray(
+                (rng.random((n_mask, TN, TN)) > 0.7).astype(np.float32)
+                * -100.0)
+        else:
+            mask = jnp.zeros((1, TN, TN), jnp.float32)
+
+        dx, dwqkv, dbqkv, dwproj, dbproj, dbias = \
+            fused_swin_block_attention_bwd(
+                x, wqkv, bqkv, wproj, bias, mask, g, heads, scale, ws,
+                interpret=True)
+
+        _, vjp = jax.vjp(
+            lambda a, b, c, d, e, f: fused_swin_block_attention_ref(
+                a, b, c, d, e, f, mask, heads, scale, ws, 0),
+            x, wqkv, bqkv, wproj, bproj, bias)
+        rx, rwqkv, rbqkv, rwproj, rbproj, rbias = vjp(g)
+
+        for got, want, name in [(dx, rx, "dx"), (dwqkv, rwqkv, "dwqkv"),
+                                (dbqkv, rbqkv, "dbqkv"),
+                                (dwproj, rwproj, "dwproj"),
+                                (dbproj, rbproj, "dbproj"),
+                                (dbias, rbias, "dbias")]:
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4,
+                err_msg=f"{name} (with_mask={with_mask})")
+
+
+def test_full_fused_grads_route_through_bwd_kernel_shifted(rng):
+    """End-to-end: jax.grad through `fused_swin_block_attention` with
+    shift>0 (interpret falls back to the ref vjp; this pins the shifted
+    contract the TPU kernel route must satisfy)."""
+    from stswincl_tpu.ops.pallas_block_attention import (
+        fused_swin_block_attention_bwd, fused_swin_block_attention_ref)
+
+    B, T, H, W, C, heads, ws, shift = 1, 2, 8, 12, 32, 2, 4, 2
+    TN = T * ws * ws
+    scale = (C // heads) ** -0.5
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(
+        np.float32) * 0.3)
+    g = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(
+        np.float32) * 0.3)
+    wqkv = jnp.asarray(
+        rng.standard_normal((C, 3 * C)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.standard_normal(3 * C).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.standard_normal((C, C)).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+    bias = jnp.asarray(
+        rng.standard_normal((heads, TN, TN)).astype(np.float32) * 0.1)
+    n_mask = (H // ws) * (W // ws)
+    mask = jnp.asarray(
+        (rng.random((n_mask, TN, TN)) > 0.7).astype(np.float32) * -100.0)
+
+    # the TPU route: roll x, run the flat bwd kernel, roll dx back
+    xs = jnp.roll(x, (-shift, -shift), axis=(2, 3))
+    dx_s, dwqkv, dbqkv, dwproj, dbproj, dbias = \
+        fused_swin_block_attention_bwd(
+            xs, wqkv, bqkv, wproj, bias, mask, g, heads, scale, ws,
+            interpret=True)
+    dx = jnp.roll(dx_s, (shift, shift), axis=(2, 3))
+
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e, f: fused_swin_block_attention_ref(
+            a, b, c, d, e, f, mask, heads, scale, ws, shift),
+        x, wqkv, bqkv, wproj, bproj, bias)
+    rx, rwqkv, rbqkv, rwproj, rbproj, rbias = vjp(g)
+
+    for got, want, name in [(dx, rx, "dx"), (dwqkv, rwqkv, "dwqkv"),
+                            (dbqkv, rbqkv, "dbqkv"),
+                            (dwproj, rwproj, "dwproj"),
+                            (dbproj, rbproj, "dbproj"),
+                            (dbias, rbias, "dbias")]:
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4,
+            err_msg=name)
