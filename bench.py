@@ -82,7 +82,7 @@ def _bracket(value):
 
 def main():
     from stswincl_tpu.models import TswinPlus
-    from stswincl_tpu.ops.resize import upsample_argmax
+    from stswincl_tpu.ops.resize import composed_upsample_argmax_cf
 
     model = TswinPlus(num_classes=12, dtype=jnp.bfloat16)
     # init at small spatial size: same param tree, far cheaper compile
@@ -90,8 +90,12 @@ def main():
     variables = model.init(jax.random.key(0), x_small, train=False)
 
     def one_frame(variables, clip):
-        logits = model.apply(variables, clip, train=False)
-        return upsample_argmax(logits, 1024, 1280, align_corners=True)
+        # protocol: model upsample to input res (base18.py:106) then eval
+        # resize to 1024x1280 + argmax (seg18/test.py:152-160); the two
+        # bilinear maps are composed into one fused resize+argmax kernel
+        lcf = model.apply(variables, clip, train=False, head_res_logits=True)
+        return composed_upsample_argmax_cf(lcf, (512, 640), (1024, 1280),
+                                           align_out=True)
 
     @jax.jit
     def chained(variables, clip):

@@ -132,13 +132,24 @@ class TswinPlus(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_features: bool = False,
-                 channels_first_logits: bool = False):
+                 channels_first_logits: bool = False,
+                 head_res_logits: bool = False):
         B, T, H, W, _ = x.shape
         features = self.trunk(x, train)
         if return_features:
             return features
         logits = Classifier(self.num_classes, dtype=self.dtype, name="classifier")(
             features, train)
+        if head_res_logits:
+            # eval fast path: hand the RAW (B, C, H/8, W/8) channels-first
+            # logits to the caller, which composes the model's bilinear
+            # upsample (`base18.py:106`) with the eval-protocol resize
+            # (`seg18/test.py:155`) into ONE pair of interpolation matrices
+            # (`ops.resize.composed_upsample_argmax_cf`) — the two resizes
+            # are linear maps, so their matrices multiply exactly. The
+            # transpose happens at head resolution (~25x cheaper than at
+            # input resolution, where NHWC C=classes lane-pads 10.7x).
+            return jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
         if channels_first_logits:
             # training-loss layout: keep the (small) class axis OUT of the
             # lane dimension — NHWC fp32 logits at full resolution pad
@@ -170,7 +181,8 @@ class DeepLabV3Plus(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 head_res_logits: bool = False):
         if x.ndim == 5:  # clip input: segment the last frame (t=1 clips too)
             x = x[:, -1]
         B, H, W, _ = x.shape
@@ -187,4 +199,8 @@ class DeepLabV3Plus(nn.Module):
         aspp_out = resize_bilinear(aspp_out, low.shape[1], low.shape[2])
         out = Classifier(self.num_classes, dtype=self.dtype, name="classifier")(
             jnp.concatenate([low, aspp_out], axis=-1), train)
+        if head_res_logits:
+            # same eval fast-path contract as TswinPlus: raw channels-first
+            # head-res logits; caller composes the resizes
+            return jnp.transpose(out.astype(jnp.float32), (0, 3, 1, 2))
         return resize_bilinear(out.astype(jnp.float32), H, W)

@@ -1,0 +1,100 @@
+"""Fused full-resolution upsample + class argmax as one Pallas kernel.
+
+The eval protocol (ref: `seg18/test.py:152-160`) upsamples (B, H, W, C)
+logits bilinearly to 1024x1280 and takes the per-pixel argmax. Lowered
+through XLA, the matmul-form resize (`ops/resize.upsample_argmax`)
+materializes the full-resolution f32 logits in HBM — 503 MB at
+(8, 12, 1024, 1280), measured 14 ms/step of the bs=8 serving step (17% of
+the whole step) before the argmax even reads them back.
+
+This kernel keeps the full-resolution logits entirely in VMEM: each grid
+cell owns one (batch, output-row-band) tile, runs the two separable
+interpolation matmuls per class on the MXU, and folds the running
+max/argmax across the class loop — only the int32 prediction tile
+(~1/12th the f32 logit bytes) is ever written to HBM. Works for ANY pair
+of interpolation matrices (align_corners True/False both route here).
+
+Numerics: matmul inputs are bf16 with fp32 accumulation — the same
+demotion XLA applies to the einsum path on this chip
+(`--xla_allow_excess_precision`); ties resolve to the first class index,
+matching `jnp.argmax`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, mh_ref, mwt_ref, out_ref, *, n_classes):
+    """x_ref (1, C, H, W) bf16; mh_ref (HB, H) bf16; mwt_ref (W, OW) bf16;
+    out_ref (1, HB, OW) int32."""
+    hb, ow = out_ref.shape[1], out_ref.shape[2]
+    best = jnp.full((hb, ow), -jnp.inf, jnp.float32)
+    idx = jnp.zeros((hb, ow), jnp.int32)
+    for c in range(n_classes):
+        t = jnp.dot(mh_ref[...], x_ref[0, c],
+                    preferred_element_type=jnp.float32)  # (HB, W)
+        y = jnp.dot(t.astype(jnp.bfloat16), mwt_ref[...],
+                    preferred_element_type=jnp.float32)  # (HB, OW)
+        take = y > best  # strict: ties keep the earlier class (argmax parity)
+        idx = jnp.where(take, jnp.int32(c), idx)
+        best = jnp.maximum(best, y)
+    out_ref[0] = idx
+
+
+def upsample_argmax_pallas(x_cf: jnp.ndarray, mh: jnp.ndarray,
+                           mw: jnp.ndarray, interpret: bool = False
+                           ) -> jnp.ndarray:
+    """(B, C, H, W) logits -> (B, OH, OW) int32 predictions.
+
+    `mh` is the (OH, H) row-interpolation matrix and `mw` the (OW, W)
+    column matrix (both from `ops.resize`); any sampling convention they
+    encode is honored.
+    """
+    B, C, H, W = x_cf.shape
+    OH, OW = mh.shape[0], mw.shape[0]
+    hb = next(h for h in (128, 64, 32, 16, 8, 4, 2, 1) if OH % h == 0)
+    xb = x_cf.astype(jnp.bfloat16)
+    mhb = mh.astype(jnp.bfloat16)
+    mwtb = mw.astype(jnp.bfloat16).T
+
+    grid = (B, OH // hb)
+    return pl.pallas_call(
+        functools.partial(_kernel, n_classes=C),
+        grid=grid,
+        in_specs=[
+            # the (C, H, W) image block is constant across the row-band
+            # axis, so it stays VMEM-resident for all bands of a batch item
+            pl.BlockSpec((1, C, H, W), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, H), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, OW), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hb, OW), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, OH, OW), jnp.int32),
+        interpret=interpret,
+    )(xb, mhb, mwtb)
+
+
+def fits_pallas_route(B: int, C: int, H: int, W: int, OH: int, OW: int,
+                      budget_bytes: int = 96 * 2**20) -> bool:
+    """Static routing check: the per-cell working set must fit VMEM.
+
+    Dominant residents: the bf16 (C, H, W) image block, the bf16 (W, OW)
+    column matrix (double-buffered by Mosaic: x2), the f32 best/y and
+    int32 idx tiles. Only upsampling shapes route (the kernel assumes the
+    band's input span is the whole H)."""
+    if OH < H or OW < W:
+        return False
+    hb = next(h for h in (128, 64, 32, 16, 8, 4, 2, 1) if OH % h == 0)
+    need = 2 * (2 * C * H * W) + 2 * (2 * W * OW) + 2 * (2 * hb * H)
+    need += 3 * 4 * hb * OW + 4 * hb * W + 2 * (4 * hb * OW)
+    return need < budget_bytes

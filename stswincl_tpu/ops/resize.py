@@ -137,15 +137,66 @@ def upsample_argmax(logits: jnp.ndarray, out_h: int, out_w: int,
     xf = logits.astype(jnp.float32).reshape(-1, H, W, C)
     xcf = jnp.transpose(xf, (0, 3, 1, 2))  # (B, C, H, W) at low res
     if (H, W) != (out_h, out_w):
-        if align_corners:
-            mh = _align_corners_matrix(H, out_h).astype(jnp.float32)
-            mw = _align_corners_matrix(W, out_w).astype(jnp.float32)
-            xcf = jnp.einsum("oh,bchw->bcow", mh, xcf)
-            xcf = jnp.einsum("pw,bcow->bcop", mw, xcf)
-        else:
-            xcf = resize_bilinear_cf_matmul(xcf, out_h, out_w)
+        mat = _align_corners_matrix if align_corners else _half_pixel_matrix
+        mh = mat(H, out_h).astype(jnp.float32)
+        mw = mat(W, out_w).astype(jnp.float32)
+        from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+        from stswincl_tpu.ops.pallas_upsample_argmax import (
+            fits_pallas_route, upsample_argmax_pallas)
+        B = xcf.shape[0]
+        if _is_tpu_backend() and fits_pallas_route(B, C, H, W, out_h, out_w):
+            # one kernel: the full-res f32 logits (503 MB at the EndoVis
+            # eval shape, 14 ms/step of HBM traffic through the XLA
+            # einsum path) never leave VMEM — only int32 preds are written
+            pred = upsample_argmax_pallas(xcf, mh, mw)
+            return pred.reshape(*lead, out_h, out_w)
+        xcf = jnp.einsum("oh,bchw->bcow", mh, xcf)
+        xcf = jnp.einsum("pw,bcow->bcop", mw, xcf)
     pred = jnp.argmax(xcf, axis=1).astype(jnp.int32)
     return pred.reshape(*lead, out_h, out_w)
+
+
+def composed_upsample_argmax_cf(lcf: jnp.ndarray,
+                                mid_hw: tuple, out_hw: tuple,
+                                align_mid: bool = False,
+                                align_out: bool = True) -> jnp.ndarray:
+    """argmax of two chained bilinear upsamples, from channels-first
+    head-resolution logits, with the resizes composed into one matrix pair.
+
+    The reference eval path applies TWO bilinear resizes to the logits:
+    the model's upsample to input resolution (align_corners=False,
+    `base18.py:106`) and the eval-protocol upsample to scoring resolution
+    (align_corners=True, `seg18/test.py:155`). Both are separable linear
+    maps, so per axis ``M2 @ (M1 @ x) == (M2 @ M1) @ x`` — this computes
+    the composed (out, head) matrices once at trace time and runs a single
+    fused resize+argmax, skipping the intermediate full-input-resolution
+    logits entirely (at the EndoVis shape that intermediate plus its
+    lane-padded transpose cost ~13 ms of the 80 ms serving step).
+
+    lcf: (B, C, h, w) fp32 logits straight from the classifier
+    (`TswinPlus(..., head_res_logits=True)``). Returns (B, OH, OW) int32.
+    """
+    B, C, h, w = lcf.shape
+    mid_h, mid_w = mid_hw
+    out_h, out_w = out_hw
+    mat1 = _align_corners_matrix if align_mid else _half_pixel_matrix
+    m1h, m1w = mat1(h, mid_h), mat1(w, mid_w)
+    if (out_h, out_w) == (mid_h, mid_w):
+        mh, mw = m1h, m1w
+    else:
+        mat2 = _align_corners_matrix if align_out else _half_pixel_matrix
+        mh = mat2(mid_h, out_h) @ m1h                      # (OH, h)
+        mw = mat2(mid_w, out_w) @ m1w                      # (OW, w)
+    mh = mh.astype(jnp.float32)
+    mw = mw.astype(jnp.float32)
+    from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+    from stswincl_tpu.ops.pallas_upsample_argmax import (
+        fits_pallas_route, upsample_argmax_pallas)
+    if _is_tpu_backend() and fits_pallas_route(B, C, h, w, out_h, out_w):
+        return upsample_argmax_pallas(lcf, mh, mw)
+    y = jnp.einsum("oh,bchw->bcow", mh, lcf.astype(jnp.float32))
+    y = jnp.einsum("pw,bcow->bcop", mw, y)
+    return jnp.argmax(y, axis=1).astype(jnp.int32)
 
 
 def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

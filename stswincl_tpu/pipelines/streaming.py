@@ -30,7 +30,8 @@ from stswincl_tpu.models.resnet import ResNet18OS8
 from stswincl_tpu.models.swin import SwinTemporalStack
 from stswincl_tpu.models.aspp import ASPP
 from stswincl_tpu.models.stswin import ProjectBNRelu, Classifier
-from stswincl_tpu.ops.resize import resize_bilinear, upsample_argmax
+from stswincl_tpu.ops.resize import (
+    composed_upsample_argmax_cf, resize_bilinear)
 
 
 class _Backbone(nn.Module):
@@ -70,7 +71,10 @@ class _Head(nn.Module):
         feats400 = jnp.concatenate([p1, p2, p3, aspp_up], axis=-1)
         logits = Classifier(self.num_classes, dtype=self.dtype,
                             name="classifier")(feats400, False)
-        return resize_bilinear(logits.astype(jnp.float32), h8 * 8, w8 * 8)
+        # raw channels-first head-res logits: the model's input-resolution
+        # upsample is composed into the eval resize by the step function
+        # (`composed_upsample_argmax_cf`), so it never materializes
+        return jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
 
 
 def _split_variables(variables, keys):
@@ -116,9 +120,10 @@ class StreamingSegmenter:
         def _step(bb_vars, head_vars, cache, frame):
             new_feat = backbone.apply(bb_vars, frame)  # (B, h8, w8, C)
             cache = jnp.concatenate([cache[:, 1:], new_feat[:, None]], axis=1)
-            logits = head.apply(head_vars, cache)
-            hw = out_hw if out_hw is not None else logits.shape[1:3]
-            return cache, upsample_argmax(logits, *hw)
+            lcf = head.apply(head_vars, cache)         # (B, C, h8, w8)
+            mid = (lcf.shape[2] * 8, lcf.shape[3] * 8)
+            hw = out_hw if out_hw is not None else mid
+            return cache, composed_upsample_argmax_cf(lcf, mid, hw)
 
         self._init_cache_fn = _init_cache
         self._step_fn = _step

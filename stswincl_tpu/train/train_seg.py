@@ -140,7 +140,8 @@ def make_seg_train_step(
 
 
 def make_seg_eval_step(model, out_hw: Optional[Tuple[int, int]] = None,
-                       align_corners: bool = True) -> Callable:
+                       align_corners: bool = True,
+                       head_res_logits: bool = True) -> Callable:
     """Jitted eval: clip -> predicted class map.
 
     Replicates the reference test loops INSIDE one XLA program: forward,
@@ -149,17 +150,31 @@ def make_seg_eval_step(model, out_hw: Optional[Tuple[int, int]] = None,
     + python loop per frame). EndoVis scores with align_corners=True
     (`seg18/test.py:155`); CaDIS with align_corners=False
     (`segcata/cata_test.py:129`) — pass the matching flag.
+
+    With ``head_res_logits`` (models that accept the kwarg — `TswinPlus`),
+    the model returns raw channels-first head-resolution logits and its
+    bilinear upsample to input resolution is COMPOSED with the eval-protocol
+    resize into one matrix pair (`composed_upsample_argmax_cf`): softmax
+    then argmax == argmax of logits, and neither full-resolution logit
+    tensor is ever materialized (each cost ~13 ms/batch through XLA at the
+    EndoVis eval shape). Pass False for models without the kwarg — they
+    return finished NHWC logits at their own output resolution.
     """
-    from stswincl_tpu.ops.resize import upsample_argmax
+    from stswincl_tpu.ops.resize import (
+        composed_upsample_argmax_cf, upsample_argmax)
 
     @jax.jit
     def eval_step(params, batch_stats, images):
-        logits = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            images, train=False)
+        variables = {"params": params, "batch_stats": batch_stats}
+        mid = images.shape[-3], images.shape[-2]
+        if head_res_logits:
+            lcf = model.apply(variables, images, train=False,
+                              head_res_logits=True)
+            hw = out_hw if out_hw is not None else mid
+            return composed_upsample_argmax_cf(lcf, mid, hw,
+                                               align_out=align_corners)
+        logits = model.apply(variables, images, train=False)
         hw = out_hw if out_hw is not None else logits.shape[-3:-1]
-        # softmax then argmax == argmax of logits; the fused channels-first
-        # upsample avoids the 10.7x lane-padding blowup of NHWC C=classes
         return upsample_argmax(logits, *hw, align_corners=align_corners)
 
     return eval_step

@@ -89,7 +89,7 @@ def test_seg_eval_step(rng):
     model = TinySeg()
     images, labels = _seg_batch(rng)
     variables = model.init(jax.random.key(0), images, train=False)
-    ev = make_seg_eval_step(model, out_hw=(32, 32))
+    ev = make_seg_eval_step(model, out_hw=(32, 32), head_res_logits=False)
     pred = ev(variables["params"], variables["batch_stats"], images)
     assert pred.shape == (4, 32, 32)
     assert pred.dtype == jnp.int32
