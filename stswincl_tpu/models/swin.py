@@ -466,9 +466,25 @@ class SwinTemporalStack(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, layer0_cached=None, layer0_only: bool = False):
+        """Full stack: x (B, 4, H, W, C) -> (stage1, stage2).
+
+        Streaming modes (used by `pipelines.streaming.StreamingSegmenter`):
+
+        * ``layer0_only=True``: x is ONE temporal group (B, 2, H, W, C);
+          applies just the first layer pair and returns its (B, 2, H, W, C)
+          output. Layer 0's group computation has no absolute-position
+          input (relative bias is within-window; LN/MLP are per-row), so
+          the result for a frame pair is clip-position-independent — the
+          streaming cache seed.
+        * ``layer0_cached``: (B, 2, H, W, C) layer-0 output for frames
+          (0, 1), computed two steps earlier when that pair sat at
+          positions (2, 3). Layer 0 then runs only on the new (2, 4)
+          group, and the call returns (stage1, stage2, g_new) where g_new
+          is the fresh group output to cache. Bit-identical to the full
+          forward: the cached tensor IS the same computation.
+        """
         B, T, H, W, C = x.shape
-        assert T == 4, "temporal stack expects clips of 4 frames"
         assert (H, W) == tuple(self.input_resolution), (
             f"resolution mismatch: {(H, W)} vs {self.input_resolution}"
         )
@@ -508,9 +524,27 @@ class SwinTemporalStack(nn.Module):
                     name=f"layers_{i}_sw"),
             )
 
+        if layer0_only:
+            assert T == 2, "layer0_only expects one (B, 2, H, W, C) group"
+            for blk in stage1_pair(0):
+                x = blk(x)
+            return x.reshape(B, 2, H, W, C)
+
+        assert T == 4, "temporal stack expects clips of 4 frames"
         d1, d2 = self.depths
+        g_new = None
         for i in range(d1):
-            x = _apply_paired(stage1_pair(i), x, PAIR_SCHEDULE[i % 2])
+            if i == 0 and layer0_cached is not None:
+                # streaming: frames (0, 1) ride the cache; only the new
+                # (2, 4) group is computed (half of layer 0)
+                g = x[:, 2:4]
+                for blk in stage1_pair(0):
+                    g = blk(g)
+                g_new = g.reshape(B, 2, H, W, C)
+                x = jnp.concatenate(
+                    [layer0_cached.reshape(B, 2, H * W, C), g], axis=1)
+            else:
+                x = _apply_paired(stage1_pair(i), x, PAIR_SCHEDULE[i % 2])
         stage1 = x.reshape(B, T, H, W, C)
 
         x = PatchMerging((H, W), self.dim, dtype=self.dtype, name="downsample")(x)
@@ -522,4 +556,6 @@ class SwinTemporalStack(nn.Module):
                 pairs = ((2, 4),)
             x = _apply_paired(stage2_pair(i + d1), x, pairs)
         stage2 = x.reshape(B, T, H // 2, W // 2, 2 * C)
+        if layer0_cached is not None:
+            return stage1, stage2, g_new
         return stage1, stage2

@@ -11,6 +11,15 @@ This is a serving-path capability beyond the reference with identical
 numerics: `predict_next` == the full-clip forward over the same 4 frames
 (`tests/test_streaming.py`).
 
+Beyond the backbone, HALF of swin layer 0 rides a cache too: layer 0's
+temporal schedule groups frames ((0, 1), (2, 3)), and its group computation
+has no absolute-position input — so the (0, 1) group of the current clip is
+bit-identical to the (2, 3) group computed two steps earlier. The step
+computes only the fresh (2, 3) group and carries a two-deep group-output
+ring (`g_a`, `g_b`). Later layers can't be cached: their inputs mix frames
+whose values are clip-alignment-dependent (e.g. frame t-2 after layer 1 was
+joined with t-3 in the previous clip but with t-1 in this one).
+
 Implementation: two thin flax modules (`_Backbone`, `_Head`) declare the
 same-named submodules as `TswinPlus` (resnet / swin / aspp / project1-3 /
 classifier), so the trained TswinPlus variable tree feeds both directly.
@@ -52,14 +61,22 @@ class _Head(nn.Module):
     dtype: object
 
     @nn.compact
-    def __call__(self, feats):
+    def __call__(self, feats, layer0_cached=None, layer0_only: bool = False):
         B, T, h8, w8, C = feats.shape
-        res_last = feats[:, -1]
-        stage1, stage2 = SwinTemporalStack(
+        swin = SwinTemporalStack(
             dim=self.swin_dim, input_resolution=(h8, w8),
             num_heads=self.num_heads, attn_impl=self.attn_impl,
             final_pair_only=True,  # only [:, -1] is consumed below
-            dtype=self.dtype, name="swin")(feats)
+            dtype=self.dtype, name="swin")
+        if layer0_only:
+            # seed the streaming layer-0 group cache (see SwinTemporalStack)
+            return swin(feats, layer0_only=True)
+        res_last = feats[:, -1]
+        if layer0_cached is not None:
+            stage1, stage2, g_new = swin(feats, layer0_cached=layer0_cached)
+        else:
+            stage1, stage2 = swin(feats)
+            g_new = None
         s1_last, s2_last = stage1[:, -1], stage2[:, -1]
         aspp_out = ASPP(self.swin_dim * 2, 256, dtype=self.dtype,
                         name="aspp")(s2_last, False)
@@ -74,7 +91,10 @@ class _Head(nn.Module):
         # raw channels-first head-res logits: the model's input-resolution
         # upsample is composed into the eval resize by the step function
         # (`composed_upsample_argmax_cf`), so it never materializes
-        return jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
+        lcf = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
+        if g_new is not None:
+            return lcf, g_new
+        return lcf
 
 
 def _split_variables(variables, keys):
@@ -111,26 +131,37 @@ class StreamingSegmenter:
         # are baked into the HLO as literals (~240MB compile payload for
         # the full model — rejected by the remote-compile relay with 413)
         @jax.jit
-        def _init_cache(bb_vars, clip):
+        def _init_cache(bb_vars, head_vars, clip):
             B, T, H, W, C = clip.shape
             feats = backbone.apply(bb_vars, clip.reshape(B * T, H, W, C))
-            return feats.reshape(B, T, *feats.shape[1:])
+            feats = feats.reshape(B, T, *feats.shape[1:])
+            # layer-0 group cache (see SwinTemporalStack.__call__): g_a is
+            # layer 0 on frames (1, 2) — the (0, 2) group of the NEXT
+            # clip — g_b on frames (2, 3) — the (0, 2) group of the clip
+            # after that. Each step consumes g_a and appends the fresh
+            # (2, 4) group output.
+            g_a = head.apply(head_vars, feats[:, 1:3], layer0_only=True)
+            g_b = head.apply(head_vars, feats[:, 2:4], layer0_only=True)
+            return feats, g_a, g_b
 
         @jax.jit
         def _step(bb_vars, head_vars, cache, frame):
+            feats, g_a, g_b = cache
             new_feat = backbone.apply(bb_vars, frame)  # (B, h8, w8, C)
-            cache = jnp.concatenate([cache[:, 1:], new_feat[:, None]], axis=1)
-            lcf = head.apply(head_vars, cache)         # (B, C, h8, w8)
+            feats = jnp.concatenate([feats[:, 1:], new_feat[:, None]], axis=1)
+            # (B, C, h8, w8) logits + the fresh layer-0 (2, 4) group output
+            lcf, g_new = head.apply(head_vars, feats, layer0_cached=g_a)
             mid = (lcf.shape[2] * 8, lcf.shape[3] * 8)
             hw = out_hw if out_hw is not None else mid
-            return cache, composed_upsample_argmax_cf(lcf, mid, hw)
+            pred = composed_upsample_argmax_cf(lcf, mid, hw)
+            return (feats, g_b, g_new), pred
 
         self._init_cache_fn = _init_cache
         self._step_fn = _step
 
     def init_cache(self, clip: jnp.ndarray):
         """Warm the cache with a full (B, T, H, W, 3) clip."""
-        return self._init_cache_fn(self._bb_vars, clip)
+        return self._init_cache_fn(self._bb_vars, self._head_vars, clip)
 
     def predict_next(self, cache, frame: jnp.ndarray):
         """Advance the stream by one (B, H, W, 3) frame; returns
