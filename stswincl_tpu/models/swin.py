@@ -28,7 +28,7 @@ TPU-first restructuring (not a translation):
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -284,7 +284,13 @@ class SpaceTimeSwinBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_frame: Optional[int] = None):
+        """out_frame: dead-compute skip for eval (`final_pair_only`) — only
+        this group-frame index's output is consumed downstream, so the
+        post-attention epilogue (residual+LN+MLP, the block's dominant
+        cost) runs on that frame's rows alone and the return is
+        (B, 1, L, C). Attention still spans both frames (the live frame's
+        queries attend to both frames' keys/values)."""
         H, W = self.input_resolution
         ws, ss = self.window_size, self.shift_size
         # reference clamps window to the input when it is small (`:155-158`)
@@ -327,10 +333,16 @@ class SpaceTimeSwinBlock(nn.Module):
             s1, b1 = _NormParams(self.dim, name="norm1")()
             w1, bw1, w2, bw2 = _MlpParams(
                 self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
+            sc = shortcut.astype(self.dtype).reshape(B, T, H, W, C)
+            if out_frame is not None:
+                # the frame axis is orthogonal to the spatial shift, so the
+                # dead frame is dropped BEFORE the epilogue pays for it
+                sc = sc[:, out_frame:out_frame + 1]
+                attn_s = attn_s[:, out_frame:out_frame + 1]
             out = fused_swin_block_epilogue_shifted(
-                shortcut.astype(self.dtype).reshape(B, T, H, W, C), attn_s,
+                sc, attn_s,
                 s2, b2, w1, bw1, w2, bw2, s1, b1, ss, ws, self.gelu_exact)
-            return out.reshape(B, T, L, C)
+            return out.reshape(B, -1, L, C)
 
         xi = x.reshape(B * T, H, W, C)
         xi = cyclic_shift(xi, ss)
@@ -344,6 +356,9 @@ class SpaceTimeSwinBlock(nn.Module):
         xo = attn.reshape(B * T, H, W, C)
         xo = cyclic_shift(xo, ss, reverse=True)
         xo = xo.reshape(B, T, L, C)
+        if out_frame is not None:
+            shortcut = shortcut[:, out_frame:out_frame + 1]
+            xo = xo[:, out_frame:out_frame + 1]
 
         # --- reference's nonstandard residual/norm order (`:234-235`) ---
         # On TPU the whole post-attention tail is ONE kernel:
@@ -405,13 +420,19 @@ class PatchMerging(nn.Module):
 PAIR_SCHEDULE = (((0, 2), (2, 4)), ((1, 3),), ((0, 2), (2, 4)))
 
 
-def _apply_paired(block_pair, x, pairs):
+def _apply_paired(block_pair, x, pairs, out_frame=None):
     """Apply a (W-MSA, SW-MSA) block pair under the temporal group schedule.
 
     x: (B, 4, L, C). For the two-group schedule both groups are folded into
     the batch axis and run in ONE attention call; for the middle [1:3] group
     the outer frames pass through untouched (reference `x_y = x_v.clone()`
     pass-through, `swin_512.py:302-307`).
+
+    out_frame (eval dead-compute skip, see `SwinTemporalStack`): only this
+    group-frame index of the pair's output is consumed downstream — the
+    FINAL (SW) block's epilogue runs on that frame alone, and the dead
+    slots of the returned clip carry pass-through filler (never read).
+    Only meaningful for the single-group schedules.
     """
     B, T, L, C = x.shape
     if pairs == ((0, 2), (2, 4)):
@@ -421,15 +442,23 @@ def _apply_paired(block_pair, x, pairs):
         return xr.reshape(B, T, L, C)
     elif pairs == ((1, 3),):
         mid = x[:, 1:3]
-        for blk in block_pair:
-            mid = blk(mid)
+        mid = block_pair[0](mid)
+        mid = block_pair[1](mid, out_frame=out_frame)
+        if out_frame is not None:
+            assert out_frame == 1  # frame 2 feeds the next layer's group
+            return jnp.concatenate(
+                [x[:, 0:2], mid, x[:, 3:4]], axis=1)  # x[:,1:2] slot is dead
         return jnp.concatenate([x[:, 0:1], mid, x[:, 3:4]], axis=1)
     elif pairs == ((2, 4),):
         # final-layer dead-compute skip (`final_pair_only`): only the (2, 4)
         # group's output can reach any consumer; frames 0-1 pass through
         tail = x[:, 2:4]
-        for blk in block_pair:
-            tail = blk(tail)
+        tail = block_pair[0](tail)
+        tail = block_pair[1](tail, out_frame=out_frame)
+        if out_frame is not None:
+            assert out_frame == 1  # only frame -1 feeds the heads
+            return jnp.concatenate(
+                [x[:, 0:3], tail], axis=1)  # x[:,2:3] slot is dead
         return jnp.concatenate([x[:, 0:2], tail], axis=1)
     else:  # pragma: no cover - schedule is static
         raise ValueError(f"unsupported pair schedule {pairs}")
@@ -450,13 +479,16 @@ class SwinTemporalStack(nn.Module):
     attn_impl: str = "auto"
     gelu_exact: bool = True
     remat: bool = False  # rematerialize each block in the backward pass
-    # skip the (0, 2) frame group of the LAST stage-2 layer: every shipped
-    # consumer (TswinPlus heads, contrast projector, streaming head) reads
-    # only the last frame of stage2, whose value depends solely on the
-    # (2, 4) group — the reference computes the dead half anyway
-    # (`swin_512.py:325-327` feeding `base18.py:92-96`). Frame-3 output is
-    # unchanged; stage2 frames 0-1 are then NOT the reference values, so
-    # full-tensor parity tests keep this False.
+    # dead-compute skip for the stage-2 tail: every shipped consumer
+    # (TswinPlus heads, contrast projector, streaming head) reads only the
+    # last frame of stage2, whose value depends solely on the (2, 4) group
+    # of the final layer — the reference computes the dead half anyway
+    # (`swin_512.py:325-327` feeding `base18.py:92-96`). The final layer
+    # therefore runs only that group, and the final + penultimate layers
+    # run their SW epilogues only on the frames that still feed frame -1
+    # (see `_apply_paired(out_frame=...)`). Frame-3 output is unchanged;
+    # stage2 frames 0-2 are then NOT the reference values, so full-tensor
+    # parity tests keep this False.
     final_pair_only: bool = False
     # layers per stage. (3, 3) is the reference architecture; smaller values
     # (compile-light test/dryrun configs) keep the alternating temporal
@@ -550,11 +582,20 @@ class SwinTemporalStack(nn.Module):
         x = PatchMerging((H, W), self.dim, dtype=self.dtype, name="downsample")(x)
         for i in range(d2):
             pairs = PAIR_SCHEDULE[i % 2]
+            of = None
             # the dead-group skip only applies when the final layer runs the
             # two-group schedule (its (0, 2) half never reaches frame -1)
             if self.final_pair_only and i == d2 - 1 and len(pairs) == 2:
                 pairs = ((2, 4),)
-            x = _apply_paired(stage2_pair(i + d1), x, pairs)
+                of = 1  # of the kept group only frame -1 feeds the heads
+            elif (self.final_pair_only and i == d2 - 2
+                  and pairs == ((1, 3),) and (d2 - 1) % 2 == 0):
+                # penultimate stage-2 layer computes frames (1, 2); the
+                # final layer's (2, 4) group reads only frame 2, and the
+                # heads read only frame -1 of stage2 — so its frame-1
+                # output is dead too
+                of = 1
+            x = _apply_paired(stage2_pair(i + d1), x, pairs, out_frame=of)
         stage2 = x.reshape(B, T, H // 2, W // 2, 2 * C)
         if layer0_cached is not None:
             return stage1, stage2, g_new

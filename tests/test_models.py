@@ -136,3 +136,27 @@ def test_remat_grads_match(rng):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_final_pair_only_grads_match(rng):
+    """Training runs `final_pair_only=True` (TswinPlus default): a loss on
+    the consumed frames (stage1 last + stage2 last — exactly what the heads
+    read) must produce IDENTICAL parameter gradients with and without the
+    dead-compute skip, since the skipped work has zero gradient. This
+    differentiates through the `out_frame` epilogue restriction of the
+    final + penultimate stage-2 layers (depths=(3, 3) default)."""
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16, 32)).astype(np.float32))
+    kw = dict(dim=32, input_resolution=(16, 16), num_heads=4)
+    full = SwinTemporalStack(**kw)
+    skip = SwinTemporalStack(final_pair_only=True, **kw)
+    v = full.init(jax.random.key(0), x)
+
+    def loss(mod, params):
+        s1, s2 = mod.apply(params, x)
+        return jnp.sum(s1[:, -1] ** 2) + jnp.sum(s2[:, -1] ** 2)
+
+    g0 = jax.grad(lambda p: loss(full, p))(v)
+    g1 = jax.grad(lambda p: loss(skip, p))(v)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
