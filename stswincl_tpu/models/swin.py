@@ -435,15 +435,17 @@ def _apply_paired(block_pair, x, pairs, out_frame=None):
     Only meaningful for the single-group schedules.
     """
     B, T, L, C = x.shape
+    # out_frame rides POSITIONALLY so `nn.remat(..., static_argnums=(2,))`
+    # sees it as static (a traced int cannot be a slice bound)
     if pairs == ((0, 2), (2, 4)):
         xr = x.reshape(B * 2, 2, L, C)
         for blk in block_pair:
-            xr = blk(xr)
+            xr = blk(xr, None)
         return xr.reshape(B, T, L, C)
     elif pairs == ((1, 3),):
         mid = x[:, 1:3]
-        mid = block_pair[0](mid)
-        mid = block_pair[1](mid, out_frame=out_frame)
+        mid = block_pair[0](mid, None)
+        mid = block_pair[1](mid, out_frame)
         if out_frame is not None:
             assert out_frame == 1  # frame 2 feeds the next layer's group
             return jnp.concatenate(
@@ -453,8 +455,8 @@ def _apply_paired(block_pair, x, pairs, out_frame=None):
         # final-layer dead-compute skip (`final_pair_only`): only the (2, 4)
         # group's output can reach any consumer; frames 0-1 pass through
         tail = x[:, 2:4]
-        tail = block_pair[0](tail)
-        tail = block_pair[1](tail, out_frame=out_frame)
+        tail = block_pair[0](tail, None)
+        tail = block_pair[1](tail, out_frame)
         if out_frame is not None:
             assert out_frame == 1  # only frame -1 feeds the heads
             return jnp.concatenate(
@@ -526,7 +528,11 @@ class SwinTemporalStack(nn.Module):
 
         # jax.checkpoint per block: trades recompute for activation memory —
         # the TPU equivalent of torch checkpointing the swin layers
-        block_cls = nn.remat(SpaceTimeSwinBlock) if self.remat else SpaceTimeSwinBlock
+        # static_argnums=(2,): `out_frame` (arg 2 counting self) is a Python
+        # int/None consumed by slice bounds — it must stay static under the
+        # checkpoint wrapper
+        block_cls = (nn.remat(SpaceTimeSwinBlock, static_argnums=(2,))
+                     if self.remat else SpaceTimeSwinBlock)
 
         def stage1_pair(i):
             return (
@@ -559,7 +565,7 @@ class SwinTemporalStack(nn.Module):
         if layer0_only:
             assert T == 2, "layer0_only expects one (B, 2, H, W, C) group"
             for blk in stage1_pair(0):
-                x = blk(x)
+                x = blk(x, None)
             return x.reshape(B, 2, H, W, C)
 
         assert T == 4, "temporal stack expects clips of 4 frames"
@@ -571,7 +577,7 @@ class SwinTemporalStack(nn.Module):
                 # (2, 4) group is computed (half of layer 0)
                 g = x[:, 2:4]
                 for blk in stage1_pair(0):
-                    g = blk(g)
+                    g = blk(g, None)
                 g_new = g.reshape(B, 2, H, W, C)
                 x = jnp.concatenate(
                     [layer0_cached.reshape(B, 2, H * W, C), g], axis=1)

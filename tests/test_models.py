@@ -160,3 +160,19 @@ def test_final_pair_only_grads_match(rng):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_remat_with_final_pair_only(rng):
+    """remat + final_pair_only compose: `out_frame` is a static slice bound,
+    so the checkpoint wrapper must not trace it (static_argnums)."""
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 16)).astype(np.float32))
+    m = SwinTemporalStack(dim=16, input_resolution=(8, 8), num_heads=2,
+                          remat=True, final_pair_only=True)
+    v = m.init(jax.random.key(0), x)
+
+    def loss(p):
+        s1, s2 = m.apply(p, x)
+        return jnp.sum(s1[:, -1] ** 2) + jnp.sum(s2[:, -1] ** 2)
+
+    g = jax.grad(loss)(v)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
