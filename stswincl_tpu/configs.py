@@ -77,6 +77,10 @@ class SegTrainConfig:
     resume: bool = False
     eval_hw: Tuple[int, int] = (1024, 1280)
     viz_dir: Optional[str] = None                # per-frame prediction PNG dumps
+    # `test` command: serve sliding-window frames through the
+    # feature-cached StreamingSegmenter (bit-equal predictions, ~2x
+    # faster steady-state); discontinuities fall back to full-clip eval
+    streaming_eval: bool = False
 
 
 @dataclass

@@ -139,6 +139,15 @@ class CadisDataset:
                 else (self.crop_w, self.crop_h))
         return img.resize(size, Image.BILINEAR)
 
+    def sliding_from(self, prev_path, path) -> bool:
+        """True when `path`'s clip is `prev_path`'s clip advanced by one
+        slot (clips stride by `step`, `_clip_paths`), so a streaming
+        feature cache built on the previous clip stays valid. Frames at or
+        below `t` use the reversed fallback branch and never slide."""
+        vid, f = path
+        pvid, pf = prev_path
+        return vid == pvid and f == pf + self.step and pf > self.t
+
     def get(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
         vid, frame = self.samples[index]
         paths = self._clip_paths(vid, frame)

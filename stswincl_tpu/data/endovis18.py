@@ -112,6 +112,16 @@ class EndovisDataset:
             mask[(rgb[:, :, :3] == color).sum(axis=-1) == 3] = cid
         return mask
 
+    def sliding_from(self, prev_path, path) -> bool:
+        """True when `path`'s clip is `prev_path`'s clip advanced by one
+        frame (same ascending [f-t+1..f] form on both sides), so a
+        streaming feature cache built on the previous clip stays valid.
+        Frames below `t` use the reversed future-frame fallback
+        (`clip_frame_indices`) and never slide."""
+        seq, f = path
+        pseq, pf = prev_path
+        return seq == pseq and f == pf + 1 and pf >= self.t
+
     def get(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
         """Load one sample. `rng` drives all randomness (required for train)."""
         seq, frame = self.samples[index]

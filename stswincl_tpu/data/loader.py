@@ -120,7 +120,11 @@ def _collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
 # ---------------- synthetic datasets (tests / bench) ----------------
 
 class SyntheticSegDataset:
-    """Deterministic random clips + blob labels shaped like EndoVis18."""
+    """Deterministic sliding-window clips + blob labels shaped like
+    EndoVis18: sample `i` is the clip of global frames [i, i+t), so
+    consecutive samples overlap by t-1 frames like a real video — the
+    streaming eval path (`evaluate_split(streaming=True)`) is exercisable
+    on synthetic data."""
 
     def __init__(self, length=32, t=4, hw=(128, 192), num_classes=12):
         self.length = length
@@ -131,13 +135,21 @@ class SyntheticSegDataset:
     def __len__(self):
         return self.length
 
+    def _frame(self, k: int) -> np.ndarray:
+        return np.random.default_rng(k).random(
+            (self.h, self.w, 3), dtype=np.float32)
+
+    def sliding_from(self, prev_path, path) -> bool:
+        return prev_path[0] == path[0] and path[1] == prev_path[1] + 1
+
     def get(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
-        g = np.random.default_rng(index)
-        image = g.random((self.t, self.h, self.w, 3), dtype=np.float32)
+        f = index + self.t - 1  # clip's target (last) global frame
+        image = np.stack([self._frame(k) for k in range(index, index + self.t)])
         # blocky labels so losses/metrics see spatial structure
+        g = np.random.default_rng(f + 100_003)
         coarse = g.integers(0, self.num_classes, size=(self.h // 16, self.w // 16))
         label = np.kron(coarse, np.ones((16, 16), dtype=np.int64)).astype(np.int32)
-        return {"path": (1, index), "image": image, "label": label}
+        return {"path": (1, f), "image": image, "label": label}
 
 
 class SyntheticContrastDataset:

@@ -27,14 +27,25 @@ from stswincl_tpu.data.loader import _seeded_rng
 
 def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
                    eval_step=None, max_frames: Optional[int] = None,
-                   viz_dir: Optional[str] = None) -> Dict:
+                   viz_dir: Optional[str] = None,
+                   streaming: Optional[bool] = None) -> Dict:
     """Run the full eval protocol over `dataset`; returns the summary dict.
 
     `viz_dir` (or `cfg.viz_dir`) enables the reference's qualitative
     per-frame prediction dumps (`seg18/test.py:162-169` label2rgb /
     `segcata/cata_test.py:137-154` plot_experiment_foreval) as RGB PNGs.
+
+    `streaming` (default `cfg.streaming_eval`) serves sliding-window frames
+    through the feature-cached `StreamingSegmenter` — predictions are
+    bit-equal to the full-clip path, so metrics are unchanged; frames whose
+    clip is not the previous clip advanced by one slot (sequence starts,
+    the below-`t` fallback clips, `rate`-subsampled gaps) fall back to the
+    full-clip eval step and re-seed the cache. The summary reports
+    `streamed_frames`.
     """
     import os
+
+    import jax.numpy as jnp
 
     from stswincl_tpu.eval.visualization import (
         ENDOVIS_COLORMAP, save_prediction)
@@ -43,6 +54,21 @@ def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
     if viz_dir:
         os.makedirs(viz_dir, exist_ok=True)
     is_cadis = cfg.data.dataset == "cadis"
+    if streaming is None:
+        streaming = getattr(cfg, "streaming_eval", False)
+    if streaming and not (hasattr(model, "swin_dim")
+                          and hasattr(dataset, "sliding_from")):
+        import logging
+        logging.getLogger("stswincl").warning(
+            "streaming_eval: unsupported for %s on %s — full-clip eval",
+            type(model).__name__, type(dataset).__name__)
+        streaming = False
+    segmenter = None
+    if streaming:
+        from stswincl_tpu.pipelines.streaming import StreamingSegmenter
+        segmenter = StreamingSegmenter(
+            model, {"params": params, "batch_stats": batch_stats},
+            out_hw=cfg.eval_hw, align_out=not is_cadis)
     if eval_step is None:
         eval_step = make_seg_eval_step(model, out_hw=cfg.eval_hw,
                                        align_corners=not is_cadis)
@@ -56,12 +82,24 @@ def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
     if max_frames is not None:
         n = min(n, max_frames)
     timings = []
+    cache, prev_path, streamed = None, None, 0
     for i in range(n):
         sample = dataset.get(i, _seeded_rng(0, 0, i))
         clip = sample["image"][None]  # (1, t, H, W, 3)
         label = sample["label"]
         tic = time.perf_counter()
-        pred = eval_step(params, batch_stats, clip)
+        path = sample.get("path")
+        if (segmenter is not None and cache is not None
+                and prev_path is not None and path is not None
+                and dataset.sliding_from(prev_path, path)):
+            cache, pred = segmenter.predict_next(
+                cache, jnp.asarray(clip[:, -1]))
+            streamed += 1
+        else:
+            pred = eval_step(params, batch_stats, clip)
+            if segmenter is not None:
+                cache = segmenter.init_cache(jnp.asarray(clip))
+        prev_path = path
         pred = np.asarray(pred[0])
         timings.append(time.perf_counter() - tic)
         if pred.shape != label.shape:
@@ -100,6 +138,8 @@ def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
     else:
         summary = evaluator.summary()
     summary["sec_per_frame"] = float(np.median(timings)) if timings else 0.0
+    if segmenter is not None:
+        summary["streamed_frames"] = streamed
     return summary
 
 

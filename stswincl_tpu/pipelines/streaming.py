@@ -119,7 +119,11 @@ class StreamingSegmenter:
     HEAD_KEYS = ("swin", "aspp", "project1", "project2", "project3",
                  "classifier")
 
-    def __init__(self, model, variables, out_hw: Optional[Tuple[int, int]] = None):
+    def __init__(self, model, variables, out_hw: Optional[Tuple[int, int]] = None,
+                 align_out: bool = True):
+        """align_out: align_corners semantics of the eval-protocol resize to
+        `out_hw` — True for EndoVis (`seg18/test.py:155`), False for CaDIS
+        (`segcata/cata_test.py:129`)."""
         self.out_hw = out_hw
         backbone = _Backbone(model.swin_dim, model.dtype)
         head = _Head(model.num_classes, model.swin_dim, model.num_heads,
@@ -153,7 +157,8 @@ class StreamingSegmenter:
             lcf, g_new = head.apply(head_vars, feats, layer0_cached=g_a)
             mid = (lcf.shape[2] * 8, lcf.shape[3] * 8)
             hw = out_hw if out_hw is not None else mid
-            pred = composed_upsample_argmax_cf(lcf, mid, hw)
+            pred = composed_upsample_argmax_cf(lcf, mid, hw,
+                                               align_out=align_out)
             return (feats, g_b, g_new), pred
 
         self._init_cache_fn = _init_cache

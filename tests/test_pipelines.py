@@ -101,3 +101,15 @@ def test_cli_test_command_e2e(tmp_path):
     assert len(pngs) == summary["frames"]
     im = Image.open(pngs[0])
     assert im.mode == "RGB" and im.size == (128, 64)
+
+    # streaming serving mode (`test streaming_eval=true`): predictions are
+    # bit-equal to the full-clip path, so every metric must be identical;
+    # after the first clip every sliding-window frame rides the cache
+    cfg.viz_dir = None
+    cfg.streaming_eval = True
+    s2 = run_test(cfg)
+    assert s2["streamed_frames"] == s2["frames"] - 1
+    for k, v in summary.items():
+        if k in ("sec_per_frame",):
+            continue
+        assert s2[k] == v or np.allclose(s2[k], v), (k, v, s2[k])
