@@ -186,3 +186,27 @@ def test_loader_batching_and_sharding():
     b1 = list(l1.epoch(3))
     np.testing.assert_array_equal(
         np.concatenate([b0[0]["image"], b1[0]["image"]]), b_full[0]["image"])
+
+
+def test_sliding_from_predicates(endovis_tree, cadis_tree):
+    """Streaming-eval cache validity: `sliding_from` must be True exactly
+    when the clip is the previous clip advanced one slot with both clips
+    in the normal ascending form (below-t frames use the reversed
+    future-frame fallback and must not slide)."""
+    ds = EndovisDataset(endovis_tree, "test", t=4, crop_hw=(32, 40))
+    assert ds.sliding_from((1, 5), (1, 6))
+    assert not ds.sliding_from((1, 5), (2, 6))    # sequence change
+    assert not ds.sliding_from((1, 5), (1, 7))    # gap (rate subsampling)
+    assert not ds.sliding_from((1, 3), (1, 4))    # prev clip used fallback
+    assert ds.sliding_from((1, 4), (1, 5))        # first valid slide
+    # consistency with the actual clip constructor
+    assert clip_frame_indices(4, 4) == [1, 2, 3, 4]
+    assert clip_frame_indices(3, 4) != [0, 1, 2, 3]  # fallback form
+
+    cds = CadisDataset(cadis_tree, "test", tag="2", t=4, crop_hw=(32, 40),
+                       base_hw=(36, 48), videos=[1, 3])
+    assert cds.sliding_from((19, 6), (19, 7))
+    assert not cds.sliding_from((19, 6), (20, 7))  # video change
+    assert not cds.sliding_from((19, 4), (19, 5))  # prev clip fallback (f<=t)
+    assert cds.sliding_from((19, 5), (19, 6))
+    assert not cds.sliding_from((19, 6), (19, 8))  # not one step
