@@ -8,10 +8,14 @@ Capability parity with `pixcontrast_18/main_pretrain_swinv5.py` +
   * cosine-ramped EMA momentum `1-(1-m)*(cos(pi*k/K)+1)/2`
     (`PixPro_swin_v5.py:258-263`) applied as a single tree_map BEFORE the
     key pass, exactly like the reference's update order;
-  * the 6-clip key pass is a `lax.scan` over the view axis — same FLOPs as
-    the reference's six pasted forwards, one compiled body, and the key
-    BN running stats advance sequentially through the 6 passes as the
-    reference's train-mode BN does;
+  * the 6-clip key pass runs ALL views in parallel (`vmap` over the view
+    axis): train-mode BN normalizes each view with its own batch
+    statistics, so the view outputs never read the running-stats carry —
+    only the (tiny) running-stats EMA chain is order-dependent, and it is
+    rebuilt exactly afterwards with a 6-step fold over the per-view batch
+    statistics (see `key_pass`), preserving the reference's sequential
+    train-mode BN semantics without serializing the six encoder forwards
+    (the scan formulation spent 26% of the stage-2 step waiting on it);
   * the loss is the class-sum rewrite of the reference's (B,HW,HW) masked
     similarity means (`stswincl_tpu/ops/contrastive.py`), symmetrized over
     the two query views; label maps are nearest-downsampled to feature
@@ -66,6 +70,74 @@ class ContrastTrainState(struct.PyTreeNode):
         )
 
 
+def _encode_train(model, params, stats, clip):
+    out, updates = model.apply(
+        {"params": params, "batch_stats": stats},
+        clip, train=True, mutable=["batch_stats"])
+    return out, updates["batch_stats"]
+
+
+# every BatchNorm in the model family uses momentum=0.9 (torch 0.1,
+# models/*.py); the key-pass stats chain folds with the same constant
+BN_MOMENTUM = 0.9
+
+
+def make_key_pass(model) -> Callable:
+    """Build the 6-view key-branch encoder: (params_k, stats_k, clips)
+    -> (keys, new_stats), with clips (B, 6, ...) and keys stacked (6, ...).
+
+    Encodes the views IN PARALLEL while preserving the reference's
+    sequential train-mode BN running-stats semantics
+    (`PixPro_swin_v5.py:366-557` runs six pasted forwards in view order).
+    Train-mode BN normalizes each view with its own batch statistics, so
+    the view OUTPUTS are independent of the running-stats carry — the six
+    encoder forwards are embarrassingly parallel (`vmap`; the earlier
+    `lax.scan` formulation serialized them, 26% of the stage-2 step).
+    Only the running-stats EMA chain is order-dependent: feeding ZEROED
+    running stats makes flax's in-module update emit exactly
+    ``(1 - momentum) * batch_stat`` (the same multiply it performs inside
+    the sequential chain), and the 6-step fold over those tiny tensors,
+    ``s <- momentum * s + that_term``, reproduces the reference's
+    ``s_{k+1} = m * s_k + (1 - m) * bs_k`` update term for term, in
+    reference view order (equality-tested against the sequential scan in
+    `tests/test_train.py`)."""
+
+    def key_pass(params_k, stats_k, clips):
+        zeros = jax.tree.map(jnp.zeros_like, stats_k)
+
+        def one(clip):
+            return _encode_train(model, params_k, zeros, clip)
+
+        # clips: (B, 6, ...) -> vmap over axis 0 of (6, B, ...)
+        keys, upd0 = jax.vmap(one)(jnp.swapaxes(clips, 0, 1))
+
+        def fold(s, u):
+            return jax.tree.map(
+                lambda sv, uv: BN_MOMENTUM * sv + uv, s, u), None
+
+        new_stats, _ = jax.lax.scan(fold, stats_k, upd0)
+        return keys, new_stats  # keys: (6, B, h, w, 256)
+
+    return key_pass
+
+
+def make_key_pass_sequential(model) -> Callable:
+    """The reference-ordered sequential formulation (scan over views,
+    running stats threaded through each forward) — kept as the semantics
+    oracle for `make_key_pass`'s parallel rewrite."""
+
+    def key_pass(params_k, stats_k, clips):
+        def body(stats, clip):
+            out, new_stats = _encode_train(model, params_k, stats, clip)
+            return new_stats, out
+
+        new_stats, keys = jax.lax.scan(body, stats_k,
+                                       jnp.swapaxes(clips, 0, 1))
+        return keys, new_stats
+
+    return key_pass
+
+
 def make_contrast_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -89,28 +161,13 @@ def make_contrast_train_step(
     with_instance = ins_loss_weight > 0.0
 
     def encode_q(params, stats, clip):
-        out, updates = model.apply(
-            {"params": params, "batch_stats": stats},
-            clip, train=True, mutable=["batch_stats"])
-        return out, updates["batch_stats"]
+        return _encode_train(model, params, stats, clip)
 
     def l2n(v):
         return v / jnp.maximum(
             jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)), 1e-12)
 
-    def key_pass(params_k, stats_k, clips):
-        """Sequentially encode the 6 views with the key branch; BN running
-        stats carry through the scan like the reference's 6 train-mode
-        forwards."""
-
-        def body(stats, clip):
-            out, new_stats = encode_q(params_k, stats, clip)
-            return new_stats, out
-
-        # clips: (B, 6, ...) -> scan over axis 0 of (6, B, ...)
-        new_stats, keys = jax.lax.scan(body, stats_k,
-                                       jnp.swapaxes(clips, 0, 1))
-        return keys, new_stats  # keys: (6, B, h, w, 256)
+    key_pass = make_key_pass(model)
 
     def to_flat(feat):
         B, h, w, C = feat.shape

@@ -116,6 +116,39 @@ def test_contrast_train_step(rng):
     assert not np.allclose(k_leaf, q_leaf)  # EMA lags
 
 
+def test_key_pass_parallel_matches_sequential(rng):
+    """The vmapped key pass must reproduce the reference-ordered
+    sequential scan exactly: identical view outputs (train-mode BN never
+    reads the running-stats carry) and identical final running stats (the
+    zero-stats trick + 6-step fold re-creates flax's EMA arithmetic term
+    for term). Uses the REAL ContrastEncoder so every BN in the family is
+    covered."""
+    from stswincl_tpu.models import ContrastEncoder
+    from stswincl_tpu.train.train_contrast import (
+        make_key_pass, make_key_pass_sequential)
+
+    model = ContrastEncoder(num_classes=5, swin_dim=64)
+    clips = jnp.asarray(
+        rng.standard_normal((2, 6, 4, 32, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), clips[:, 0], train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    # drive one sequential pass first so the running stats are non-trivial
+    _, stats = make_key_pass_sequential(model)(params, stats, clips)
+
+    keys_s, ns_s = jax.jit(make_key_pass_sequential(model))(
+        params, stats, clips)
+    keys_p, ns_p = jax.jit(make_key_pass(model))(params, stats, clips)
+    # tolerance = fp-association drift between the two compiled programs
+    # (batched vs looped convs); a semantics bug (cross-view batch-stat
+    # contamination, wrong chain order) would show as O(1e-2)+ differences
+    for a, b in zip(jax.tree.leaves(keys_s), jax.tree.leaves(keys_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4)
+    for a, b in zip(jax.tree.leaves(ns_s), jax.tree.leaves(ns_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_contrast_train_step_instance_branch(rng):
     """`pixpro_ins_loss_weight > 0` path on the REAL ContrastEncoder
     (`PixPro_swin_v5.py:243-256,287-289`): instance projector + predictor
