@@ -179,9 +179,20 @@ def make_contrast_train_step(
         return lab.reshape(labels.shape[0], labels.shape[1], h * w)
 
     def loss_fn(params_q, stats_q, params_k, stats_k, clips, labels):
-        # query passes on views 0 and 1 (grad)
-        q1, stats_q1 = encode_q(params_q, stats_q, clips[:, 0])
-        q2, stats_q2 = encode_q(params_q, stats_q1, clips[:, 1])
+        # query passes on views 0 and 1 (grad) — parallel, like the key
+        # pass: train-mode BN outputs never read the running-stats carry,
+        # so the two view forwards vmap and the 2-step stats EMA chain is
+        # rebuilt afterwards (see `make_key_pass` for the derivation)
+        zeros = jax.tree.map(jnp.zeros_like, stats_q)
+        qs, upd0_q = jax.vmap(
+            lambda clip: encode_q(params_q, zeros, clip)
+        )(jnp.swapaxes(clips[:, :2], 0, 1))
+        stats_q2, _ = jax.lax.scan(
+            lambda s, u: (jax.tree.map(
+                lambda sv, uv: BN_MOMENTUM * sv + uv, s, u), None),
+            stats_q, upd0_q)
+        q1 = jax.tree.map(lambda x: x[0], qs)
+        q2 = jax.tree.map(lambda x: x[1], qs)
         # key passes on all 6 views (no grad through params_k)
         keys, new_stats_k = key_pass(params_k, stats_k, clips)
         keys = jax.lax.stop_gradient(keys)
