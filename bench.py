@@ -166,24 +166,26 @@ def main():
         seg = StreamingSegmenter(model, variables, out_hw=(1024, 1280))
         stream_best_bs, stream_best_fps = None, None
         for bs in (8, 16):
-            frames = jnp.asarray(
-                rng.random((bs, 512, 640, 3), dtype=np.float32))
-            cache = seg.init_cache(jnp.asarray(
-                rng.random((bs, 4, 512, 640, 3), dtype=np.float32)))
-
-            @jax.jit
-            def stream_chain(bb_vars, head_vars, cache, frame):
-                def body(carry, _):
-                    c, checksum = carry
-                    c, pred = seg._step_fn(bb_vars, head_vars, c,
-                                           frame + checksum * 1e-12)
-                    return (c, jnp.sum(pred).astype(jnp.float32)), ()
-
-                (c, s), _ = jax.lax.scan(
-                    body, (cache, jnp.float32(0.0)), None, length=N_CHAIN)
-                return s
-
+            # everything per-bs sits inside the try: a bs=16 OOM during
+            # cache warmup must not discard an already-measured bs=8 result
             try:
+                frames = jnp.asarray(
+                    rng.random((bs, 512, 640, 3), dtype=np.float32))
+                cache = seg.init_cache(jnp.asarray(
+                    rng.random((bs, 4, 512, 640, 3), dtype=np.float32)))
+
+                @jax.jit
+                def stream_chain(bb_vars, head_vars, cache, frame):
+                    def body(carry, _):
+                        c, checksum = carry
+                        c, pred = seg._step_fn(bb_vars, head_vars, c,
+                                               frame + checksum * 1e-12)
+                        return (c, jnp.sum(pred).astype(jnp.float32)), ()
+
+                    (c, s), _ = jax.lax.scan(
+                        body, (cache, jnp.float32(0.0)), None, length=N_CHAIN)
+                    return s
+
                 args = (seg._bb_vars, seg._head_vars, cache, frames)
                 float(stream_chain(*args))
                 best = np.inf

@@ -467,12 +467,12 @@ class ClipRandAugment:
         if label is None:
             return np.stack(
                 [self.augment(np.random.default_rng(seed), f) for f in clip])
-        frames = []
-        out_label = None
-        for f in clip:
-            f_out, out_label = self.augment(
-                np.random.default_rng(seed), f, label)
-            frames.append(f_out)
+        # the replayed draws warp every frame identically, so the label is
+        # warped once (with the first frame) and skipped for the rest
+        f0, out_label = self.augment(np.random.default_rng(seed), clip[0],
+                                     label)
+        frames = [f0] + [self.augment(np.random.default_rng(seed), f)
+                         for f in clip[1:]]
         return np.stack(frames), out_label
 
 

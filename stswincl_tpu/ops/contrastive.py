@@ -69,10 +69,13 @@ def _per_set_stats(
         jnp.broadcast_to(class_cnts[:, None, :], sims.shape), idx, axis=-1
     )[..., 0]
 
-    total_sum = jnp.sum(sims, axis=-1)  # == q_i . sum_j k_j
-    hw_k = jnp.float32(k.shape[1])
+    total_sum = jnp.sum(sims, axis=-1)  # == q_i . sum_j (valid) k_j
+    # key pixels with out-of-range labels (the geometric-warp LABEL_FILL,
+    # data/rand_augment.py) get an all-zero one_hot row: excluded from the
+    # class sums above, so they must be excluded from the count too
+    valid_k_cnt = jnp.sum(class_cnts, axis=-1)[:, None]  # (B, 1)
     neg_sum = total_sum - pos_sum
-    neg_cnt = hw_k - pos_cnt
+    neg_cnt = valid_k_cnt - pos_cnt
     return pos_sum, pos_cnt, neg_sum, neg_cnt
 
 
@@ -110,9 +113,18 @@ def class_sum_contrastive_loss(
 
     ``-mean log(e^P / (e^P + e^N) + 1e-6)`` exactly as `PixPro_swin_v5.py:
     124-128`. The caller symmetrizes over the two query views.
+
+    Query pixels whose label is outside [0, class_num) — the geometric
+    warp's LABEL_FILL=255 (`data/rand_augment.py`) — are excluded from the
+    mean: `take_along_axis` would otherwise CLAMP the index to the last
+    real class and contrastively pull out-of-frame pixels toward it. When
+    every label is in range (the reference's own menu) the mask is all-ones
+    and the loss is unchanged.
     """
     P, N = pixel_pair_stats(q, q_labels, keys, class_num)
     # log(e^P/(e^P+e^N) + eps); P, N are bounded (|P|,|N|<=5) so the direct
     # form is numerically safe, matching the reference epsilon placement.
     ratio = jnp.exp(P) / (jnp.exp(P) + jnp.exp(N))
-    return -jnp.mean(jnp.log(ratio + 1e-6))
+    valid = ((q_labels >= 0) & (q_labels < class_num)).astype(jnp.float32)
+    terms = jnp.log(ratio + 1e-6) * valid
+    return -jnp.sum(terms) / jnp.maximum(jnp.sum(valid), 1.0)

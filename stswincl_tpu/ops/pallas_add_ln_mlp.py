@@ -207,13 +207,11 @@ def _epi_bwd_kernel(x_ref, y_ref, g_ref, s2_ref, w1_ref, b1_ref, w2_ref,
     fusions. Weight/vector grads accumulate in fp32 scratch across the
     sequential row-tile grid and are written once on the last tile.
 
-    Outputs: ds (rows, C) — dx == dy == ds; dw1/db1/dw2/dbw2/ds1/db1n/
-    ds2/db2. vec_s rows: [ds1, db1n, ds2, db2, db1(hidden? no — separate)]
-    — see layout below: vec_s is (6, C) f32 for the C-sized vectors and
-    db1 rides dw1_s's unused... (kept simple: db1 is hidden-sized, stored
-    in its own row of a (1, hidden) slice of dw1_s? No: db1 gets its own
-    accumulator as rows 0 of a (1, hidden) scratch folded into dw1_s) —
-    instead db1/dbw2 use vec rows padded to max(C, hidden) columns.
+    Outputs: ds (rows, C) — dx == dy == ds; plus the weight/vector grads
+    dw1/db1/dw2/dbw2/ds1/db1n/ds2/db2. Vector-grad scratch layout: vec_s is
+    (6, max(C, hidden)) fp32 — rows 0-4 hold the C-sized accumulators
+    [ds1, db1n, ds2, db2, dbw2] in columns [:C]; row 5 holds the
+    hidden-sized db1 in columns [:hidden].
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)

@@ -63,14 +63,20 @@ def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
             "streaming_eval: unsupported for %s on %s — full-clip eval",
             type(model).__name__, type(dataset).__name__)
         streaming = False
+    # CaDIS scores at (540, 960) (`cata_test.py:129`); apply the same remap
+    # `pipelines/seg.py` / `run_test` use so the streaming segmenter and a
+    # caller-supplied eval_step agree on the prediction resolution
+    eval_hw = tuple(cfg.eval_hw)
+    if is_cadis and eval_hw == (1024, 1280):
+        eval_hw = (540, 960)
     segmenter = None
     if streaming:
         from stswincl_tpu.pipelines.streaming import StreamingSegmenter
         segmenter = StreamingSegmenter(
             model, {"params": params, "batch_stats": batch_stats},
-            out_hw=cfg.eval_hw, align_out=not is_cadis)
+            out_hw=eval_hw, align_out=not is_cadis)
     if eval_step is None:
-        eval_step = make_seg_eval_step(model, out_hw=cfg.eval_hw,
+        eval_step = make_seg_eval_step(model, out_hw=eval_hw,
                                        align_corners=not is_cadis)
     if is_cadis:
         num_classes = CADIS_CLASS_NUM[cfg.data.tag]
@@ -95,10 +101,11 @@ def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
             cache, pred = segmenter.predict_next(
                 cache, jnp.asarray(clip[:, -1]))
             streamed += 1
+        elif segmenter is not None:
+            # non-sliding frame: seed the cache and predict in ONE forward
+            cache, pred = segmenter.init_and_predict(jnp.asarray(clip))
         else:
             pred = eval_step(params, batch_stats, clip)
-            if segmenter is not None:
-                cache = segmenter.init_cache(jnp.asarray(clip))
         prev_path = path
         pred = np.asarray(pred[0])
         timings.append(time.perf_counter() - tic)

@@ -59,6 +59,8 @@ class _Head(nn.Module):
     num_heads: int
     attn_impl: str
     dtype: object
+    swin_depths: Tuple[int, int] = (3, 3)
+    gelu_exact: bool = True
 
     @nn.compact
     def __call__(self, feats, layer0_cached=None, layer0_only: bool = False):
@@ -66,6 +68,7 @@ class _Head(nn.Module):
         swin = SwinTemporalStack(
             dim=self.swin_dim, input_resolution=(h8, w8),
             num_heads=self.num_heads, attn_impl=self.attn_impl,
+            depths=tuple(self.swin_depths), gelu_exact=self.gelu_exact,
             final_pair_only=True,  # only [:, -1] is consumed below
             dtype=self.dtype, name="swin")
         if layer0_only:
@@ -127,7 +130,9 @@ class StreamingSegmenter:
         self.out_hw = out_hw
         backbone = _Backbone(model.swin_dim, model.dtype)
         head = _Head(model.num_classes, model.swin_dim, model.num_heads,
-                     model.attn_impl, model.dtype)
+                     model.attn_impl, model.dtype,
+                     swin_depths=tuple(model.swin_depths),
+                     gelu_exact=model.gelu_exact)
         self._bb_vars = _split_variables(variables, ("resnet",))
         self._head_vars = _split_variables(variables, self.HEAD_KEYS)
 
@@ -149,6 +154,20 @@ class StreamingSegmenter:
             return feats, g_a, g_b
 
         @jax.jit
+        def _init_and_predict(bb_vars, head_vars, clip):
+            B, T, H, W, C = clip.shape
+            feats = backbone.apply(bb_vars, clip.reshape(B * T, H, W, C))
+            feats = feats.reshape(B, T, *feats.shape[1:])
+            g_a = head.apply(head_vars, feats[:, 1:3], layer0_only=True)
+            g_b = head.apply(head_vars, feats[:, 2:4], layer0_only=True)
+            lcf = head.apply(head_vars, feats)
+            mid = (lcf.shape[2] * 8, lcf.shape[3] * 8)
+            hw = out_hw if out_hw is not None else mid
+            pred = composed_upsample_argmax_cf(lcf, mid, hw,
+                                               align_out=align_out)
+            return (feats, g_a, g_b), pred
+
+        @jax.jit
         def _step(bb_vars, head_vars, cache, frame):
             feats, g_a, g_b = cache
             new_feat = backbone.apply(bb_vars, frame)  # (B, h8, w8, C)
@@ -162,11 +181,19 @@ class StreamingSegmenter:
             return (feats, g_b, g_new), pred
 
         self._init_cache_fn = _init_cache
+        self._init_and_predict_fn = _init_and_predict
         self._step_fn = _step
 
     def init_cache(self, clip: jnp.ndarray):
         """Warm the cache with a full (B, T, H, W, 3) clip."""
         return self._init_cache_fn(self._bb_vars, self._head_vars, clip)
+
+    def init_and_predict(self, clip: jnp.ndarray):
+        """Warm the cache AND segment the clip's last frame in one pass —
+        the cache seeding shares the backbone forward with the prediction,
+        so a non-sliding frame (sequence start) costs one clip forward, not
+        two. Returns (cache, prediction)."""
+        return self._init_and_predict_fn(self._bb_vars, self._head_vars, clip)
 
     def predict_next(self, cache, frame: jnp.ndarray):
         """Advance the stream by one (B, H, W, 3) frame; returns
