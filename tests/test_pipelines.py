@@ -113,3 +113,44 @@ def test_cli_test_command_e2e(tmp_path):
         if k in ("sec_per_frame",):
             continue
         assert s2[k] == v or np.allclose(s2[k], v), (k, v, s2[k])
+
+
+def test_streaming_eval_discontinuity(rng_seed=0):
+    """evaluate_split(streaming=True) across a SEQUENCE BOUNDARY: the
+    non-sliding frame must fall back to a full-clip forward (re-seeding the
+    cache via init_and_predict) and metrics must still match the full-clip
+    run exactly."""
+    import jax
+    from stswincl_tpu.data.loader import SyntheticSegDataset
+    from stswincl_tpu.models import TswinPlus
+    from stswincl_tpu.pipelines.evaluate import evaluate_split
+
+    class TwoSeq(SyntheticSegDataset):
+        """Synthetic stream split into two sequences at index 4: sample 4
+        restarts frame numbering, so its clip is NOT the previous clip
+        advanced by one slot."""
+
+        def get(self, index, rng=None):
+            s = super().get(index, rng)
+            f = s["path"][1]
+            s["path"] = (1, f) if index < 4 else (2, f - 4)
+            return s
+
+    ds = TwoSeq(length=8, t=4, hw=(64, 128), num_classes=5)
+    model = TswinPlus(num_classes=5, swin_dim=64)
+    clip0 = ds.get(0)["image"][None]
+    variables = model.init(jax.random.key(0), clip0, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    cfg = SegTrainConfig(
+        data=DataConfig(dataset="synthetic", num_classes=5,
+                        crop_hw=(64, 128)),
+        eval_hw=(64, 128))
+
+    full = evaluate_split(model, params, stats, ds, cfg, streaming=False)
+    sm = evaluate_split(model, params, stats, ds, cfg, streaming=True)
+    # boundaries: sample 0 (first) and sample 4 (sequence restart) fall back
+    assert sm["streamed_frames"] == 6
+    for k, v in full.items():
+        if k == "sec_per_frame":
+            continue
+        assert sm[k] == v or np.allclose(sm[k], v), (k, v, sm[k])
