@@ -45,8 +45,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
     """
     bias = bias_ref[0].astype(jnp.float32)
     for w in range(wpc):
-        q = q_ref[w, 0].astype(jnp.float32) * scale
-        k = k_ref[w, 0].astype(jnp.float32)
+        # native-dtype MXU inputs with fp32 accumulation — the einsum
+        # path's semantics (ops/attention.py:57) and the fast MXU path
+        q = q_ref[w, 0] * scale
+        k = k_ref[w, 0]
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,

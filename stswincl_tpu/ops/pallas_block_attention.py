@@ -63,8 +63,12 @@ def _row_kernel(qkv_ref, bias_ref, mask_ref, out_ref, *, heads, scale, ws,
         mask = mask_ref[0 if single_mask else j].astype(jnp.float32)
         outs = []
         for h in range(heads):
-            q = win[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
-            k = win[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+            # q/k stay in the input dtype: bf16 MXU inputs with fp32
+            # accumulation — the einsum model path's exact semantics
+            # (ops/attention.py:57) and the fast MXU path (an fp32 dot
+            # runs multi-pass on the MXU)
+            q = win[:, h * hd:(h + 1) * hd] * scale
+            k = win[:, C + h * hd:C + (h + 1) * hd]
             v = win[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
             scores = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -94,8 +98,7 @@ def windowed_attention_image_ref(qkv, bias_tiled, mask_tiled, heads, scale,
     q = xw[..., :C].reshape(-1, TN, heads, hd).transpose(0, 2, 1, 3)
     k = xw[..., C:2 * C].reshape(-1, TN, heads, hd).transpose(0, 2, 1, 3)
     v = xw[..., 2 * C:].reshape(-1, TN, heads, hd).transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
-                        k.astype(jnp.float32),
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                         preferred_element_type=jnp.float32)
     scores = scores + bias_tiled[None].astype(jnp.float32)
     n_mask = mask_tiled.shape[0]
@@ -217,8 +220,12 @@ def _full_kernel(x_ref, xnext_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         mask = mask_ref[0 if single_mask else j].astype(jnp.float32)
         outs = []
         for h in range(heads):
-            q = win[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
-            k = win[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+            # q/k stay in the input dtype: bf16 MXU inputs with fp32
+            # accumulation — the einsum model path's exact semantics
+            # (ops/attention.py:57) and the fast MXU path (an fp32 dot
+            # runs multi-pass on the MXU)
+            q = win[:, h * hd:(h + 1) * hd] * scale
+            k = win[:, C + h * hd:C + (h + 1) * hd]
             v = win[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
             scores = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -389,8 +396,9 @@ def _full_bwd_kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref,
         mask = mask_ref[0 if single_mask else j].astype(jnp.float32)
         o_heads, dq_heads, dk_heads, dv_heads = [], [], [], []
         for h in range(heads):
-            q_s = win[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
-            k = win[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+            # native-dtype score inputs, matching the forward kernels
+            q_s = win[:, h * hd:(h + 1) * hd] * scale
+            k = win[:, C + h * hd:C + (h + 1) * hd]
             v = win[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
             scores = jax.lax.dot_general(
                 q_s, k, dimension_numbers=(((1,), (1,)), ((), ())),
