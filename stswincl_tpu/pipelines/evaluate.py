@@ -89,8 +89,17 @@ def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
         n = min(n, max_frames)
     timings = []
     cache, prev_path, streamed = None, None, 0
+
+    # host-side prefetch: decode sample i+1 (PIL loads dominate the host
+    # cost) while the device runs frame i — the reference loop loads and
+    # infers strictly serially (`seg18/test.py:148-160`)
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=1)
+    nxt = pool.submit(dataset.get, 0, _seeded_rng(0, 0, 0)) if n else None
     for i in range(n):
-        sample = dataset.get(i, _seeded_rng(0, 0, i))
+        sample = nxt.result()
+        if i + 1 < n:
+            nxt = pool.submit(dataset.get, i + 1, _seeded_rng(0, 0, i + 1))
         clip = sample["image"][None]  # (1, t, H, W, 3)
         label = sample["label"]
         tic = time.perf_counter()
@@ -136,6 +145,7 @@ def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
             seq = sample["path"][0]
             evaluator.update(label, pred, int(seq))
 
+    pool.shutdown(wait=False)
     if is_cadis:
         pa = pixel_accuracy(cm.matrix)
         pac, pac_c = pixel_accuracy_per_class(cm.matrix)
