@@ -25,3 +25,22 @@ def test_streaming_matches_full_clip(rng):
         full_logits = model.apply(variables, clip, train=False)
         full_pred = jnp.argmax(full_logits, axis=-1).astype(jnp.int32)
         np.testing.assert_array_equal(np.asarray(pred), np.asarray(full_pred))
+
+
+def test_streaming_nondefault_depths(rng):
+    """StreamingSegmenter must plumb model.swin_depths into its head: a
+    depths=(2, 2) model's variable tree (4 swin layers) has to apply
+    cleanly and reproduce the full-clip argmax bit-exactly."""
+    model = TswinPlus(num_classes=5, swin_dim=64, swin_depths=(2, 2))
+    H, W = 64, 128
+    frames = rng.standard_normal((5, H, W, 3)).astype(np.float32)
+    clip0 = jnp.asarray(frames[None, 0:4])
+    variables = model.init(jax.random.key(0), clip0, train=False)
+
+    seg = StreamingSegmenter(model, variables, out_hw=None)
+    cache = seg.init_cache(clip0)
+    cache, pred = seg.predict_next(cache, jnp.asarray(frames[None, 4]))
+    full_logits = model.apply(variables, jnp.asarray(frames[None, 1:5]),
+                              train=False)
+    full_pred = jnp.argmax(full_logits, axis=-1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(full_pred))
