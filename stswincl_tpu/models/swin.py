@@ -420,7 +420,7 @@ class PatchMerging(nn.Module):
 PAIR_SCHEDULE = (((0, 2), (2, 4)), ((1, 3),), ((0, 2), (2, 4)))
 
 
-def _apply_paired(block_pair, x, pairs, out_frame=None):
+def _apply_paired(block_pair, x, pairs, out_frame=None, g0_out_frame=None):
     """Apply a (W-MSA, SW-MSA) block pair under the temporal group schedule.
 
     x: (B, 4, L, C). For the two-group schedule both groups are folded into
@@ -438,6 +438,18 @@ def _apply_paired(block_pair, x, pairs, out_frame=None):
     # out_frame rides POSITIONALLY so `nn.remat(..., static_argnums=(2,))`
     # sees it as static (a traced int cannot be a slice bound)
     if pairs == ((0, 2), (2, 4)):
+        if g0_out_frame is not None:
+            # dead-compute split (stage-2 layer 0 under `final_pair_only`,
+            # see `SwinTemporalStack`): the (0, 2) group's frame-0 OUTPUT
+            # is read by nothing downstream — the groups run as separate
+            # calls so the first group's final (SW) epilogue covers only
+            # its live frame; slot 0 of the return carries pass-through
+            # filler (never read). Same math per group as the batch fold.
+            g01 = block_pair[0](x[:, 0:2], None)
+            g01 = block_pair[1](g01, g0_out_frame)
+            g23 = block_pair[0](x[:, 2:4], None)
+            g23 = block_pair[1](g23, None)
+            return jnp.concatenate([x[:, 0:1], g01, g23], axis=1)
         xr = x.reshape(B * 2, 2, L, C)
         for blk in block_pair:
             xr = blk(xr, None)
@@ -589,6 +601,7 @@ class SwinTemporalStack(nn.Module):
         for i in range(d2):
             pairs = PAIR_SCHEDULE[i % 2]
             of = None
+            g0of = None
             # the dead-group skip only applies when the final layer runs the
             # two-group schedule (its (0, 2) half never reaches frame -1)
             if self.final_pair_only and i == d2 - 1 and len(pairs) == 2:
@@ -601,7 +614,14 @@ class SwinTemporalStack(nn.Module):
                 # heads read only frame -1 of stage2 — so its frame-1
                 # output is dead too
                 of = 1
-            x = _apply_paired(stage2_pair(i + d1), x, pairs, out_frame=of)
+            elif self.final_pair_only and i == 0 and d2 == 3:
+                # layer-0 frame-0 output is read by NOTHING at this depth:
+                # layer 1 is the (1, 3) middle group, layer 2 keeps only
+                # the (2, 4) group, and the heads read frame -1 — the
+                # (0, 2) group's SW epilogue runs on frame 1 alone
+                g0of = 1
+            x = _apply_paired(stage2_pair(i + d1), x, pairs, out_frame=of,
+                              g0_out_frame=g0of)
         stage2 = x.reshape(B, T, H // 2, W // 2, 2 * C)
         if layer0_cached is not None:
             return stage1, stage2, g_new
