@@ -50,20 +50,40 @@ not an assertion.
 Metric names are stable across rounds (no batch size in the key; the batch
 is a field). Round-1 reported bs=1 only; round-2's headline moved to the
 batched serving number — both remain printed.
+
+Resilience (round 4): the axon TPU tunnel has twice been observed down at
+driver-capture time (`jax.devices()` hangs forever or the backend init
+raises UNAVAILABLE — BENCH_r03.json rc=1). The measurement body therefore
+runs behind the same shielding the multichip dryrun gate got in round 2
+(`__graft_entry__.py:118-186`):
+
+  1. a BOUNDED backend probe in a subprocess (a hang cannot wedge the
+     driver's bench step);
+  2. the measurement itself in a subprocess with a wall-clock bound, retried
+     once with a fresh compilation cache (stale/corrupt cache entries are a
+     known failure class);
+  3. on persistent unavailability, ONE structured JSON line with
+     `error: "tpu_unreachable"` and the last driver-verified numbers
+     (BENCH_r02.json), exit code 0 — the driver records a fact, not a
+     stack trace.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-
-# persistent compilation cache: compiles through the TPU tunnel are slow
-# (minutes); cache hits make repeat runs near-instant
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-import jax.numpy as jnp
-import numpy as np
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+# last driver-verified numbers (BENCH_r02.json, rc=0): used only in the
+# tpu_unreachable fallback line so an outage never erases known history
+_LAST_VERIFIED = {
+    "round": 2,
+    "endovis18_infer_fps_512x640_per_chip": 75.22,
+    "endovis18_video_serving_fps_512x640_per_chip": 91.44,
+}
+PROBE_TIMEOUT_S = 300     # jax.devices() through the tunnel: normally <60s
+IMPL_TIMEOUT_S = 3000     # full bench incl. cold compiles through the tunnel
 
 BASELINE_FPS_GENEROUS_CAP = 20.0   # A100-TF32-class upper bound (see doc)
 BASELINE_FPS_REALISTIC = 2.6       # V100 fp32, FLOP-scaled from mmseg swin
@@ -80,9 +100,116 @@ def _bracket(value):
     }
 
 
+def _probe_backend(timeout_s=None):
+    """Bounded TPU-availability check in a throwaway subprocess.
+
+    `jax.devices()` through the axon tunnel can hang indefinitely when the
+    relay is down (observed r3/r4); a subprocess + timeout turns that into
+    a clean boolean. Returns (ok, detail_str).
+    """
+    timeout_s = PROBE_TIMEOUT_S if timeout_s is None else timeout_s
+    code = ("import jax; d = jax.devices(); "
+            "print('PROBE_OK', d[0].platform, len(d))")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=_REPO_DIR, timeout=timeout_s,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    except subprocess.TimeoutExpired:
+        return False, f"backend probe timed out after {timeout_s}s"
+    if proc.returncode != 0 or "PROBE_OK" not in proc.stdout:
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        return False, "; ".join(tail[-3:]) if tail else f"rc={proc.returncode}"
+    return True, proc.stdout.strip()
+
+
+def _run_impl(env, timeout_s=None):
+    """Run the measurement body in a subprocess; forward stderr, return
+    (rc, stdout). A timeout returns rc=124 instead of hanging the driver."""
+    timeout_s = IMPL_TIMEOUT_S if timeout_s is None else timeout_s
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(_REPO_DIR, "bench.py"), "--impl"],
+            env=env, cwd=_REPO_DIR, timeout=timeout_s,
+            stdout=subprocess.PIPE, stderr=None, text=True)
+        return proc.returncode, proc.stdout
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        print(f"bench impl timed out after {timeout_s}s", file=sys.stderr)
+        return 124, out
+
+
+def _emit_unreachable(detail):
+    """The structured-failure line: one JSON object per stable metric name,
+    rc stays 0 so the driver records the outage as data."""
+    for metric in ("endovis18_infer_fps_512x640_per_chip",
+                   "endovis18_video_serving_fps_512x640_per_chip"):
+        print(json.dumps({
+            "metric": metric,
+            "value": None,
+            "unit": "frames/sec/chip",
+            "error": "tpu_unreachable",
+            "error_detail": detail,
+            "last_verified": _LAST_VERIFIED[metric],
+            "last_verified_round": _LAST_VERIFIED["round"],
+        }))
+
+
 def main():
+    ok, detail = _probe_backend()
+    if not ok:
+        print(f"TPU backend unavailable: {detail}", file=sys.stderr)
+        _emit_unreachable(detail)
+        return
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(_REPO_DIR, ".jax_cache"))
+    rc, out = _run_impl(env)
+    if rc != 0:
+        # a corrupt/stale persistent-cache entry is a known failure class
+        # (same retry the dryrun gate has, __graft_entry__.py:167-180)
+        print(f"bench impl rc={rc}; retrying with a fresh compilation cache",
+              file=sys.stderr)
+        import tempfile
+        env_fresh = dict(env)
+        env_fresh["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
+            prefix="jax_cache_bench_")
+        rc, out = _run_impl(env_fresh)
+    if rc != 0:
+        # backend was probe-reachable but the bench still died twice —
+        # report it structurally rather than crashing the driver step
+        _emit_unreachable(f"bench impl failed twice (rc={rc}) after a "
+                          "successful backend probe")
+        return
+    sys.stdout.write(out)
+
+
+def _bench_impl():
+    import jax
+
+    # persistent compilation cache: compiles through the TPU tunnel are slow
+    # (minutes); cache hits make repeat runs near-instant. The orchestrator
+    # points JAX_COMPILATION_CACHE_DIR at a fresh dir on retry.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(_REPO_DIR, ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
     from stswincl_tpu.models import TswinPlus
     from stswincl_tpu.ops.resize import composed_upsample_argmax_cf
+
+    # BENCH_SMOKE=1: tiny shapes + short chains so the ENTIRE bench path is
+    # executable on CPU in seconds — keeps the measurement code rot-free
+    # through tunnel outages (the numbers it prints are not benchmarks)
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    (H, W) = (128, 192) if smoke else (512, 640)
+    (OH, OW) = (256, 384) if smoke else (1024, 1280)
+    n_chain = 2 if smoke else N_CHAIN
+    batch_probe = (2,) if smoke else (8, 16)
 
     model = TswinPlus(num_classes=12, dtype=jnp.bfloat16)
     # init at small spatial size: same param tree, far cheaper compile
@@ -94,7 +221,7 @@ def main():
         # resize to 1024x1280 + argmax (seg18/test.py:152-160); the two
         # bilinear maps are composed into one fused resize+argmax kernel
         lcf = model.apply(variables, clip, train=False, head_res_logits=True)
-        return composed_upsample_argmax_cf(lcf, (512, 640), (1024, 1280),
+        return composed_upsample_argmax_cf(lcf, (H, W), (OH, OW),
                                            align_out=True)
 
     @jax.jit
@@ -106,11 +233,11 @@ def main():
             checksum = jnp.sum(pred).astype(jnp.float32)
             return checksum, checksum
 
-        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=N_CHAIN)
+        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_chain)
         return final
 
     rng = np.random.default_rng(0)
-    clip = jnp.asarray(rng.random((1, 4, 512, 640, 3), dtype=np.float32))
+    clip = jnp.asarray(rng.random((1, 4, H, W, 3), dtype=np.float32))
 
     # compile + warmup
     float(chained(variables, clip))
@@ -120,7 +247,7 @@ def main():
         t0 = time.perf_counter()
         float(chained(variables, clip))  # scalar D2H forces full execution
         dt = time.perf_counter() - t0
-        bs1_fps = max(bs1_fps, N_CHAIN / dt)
+        bs1_fps = max(bs1_fps, n_chain / dt)
 
     print(f"device-chained throughput bs=1: {bs1_fps:.2f} fps",
           file=sys.stderr)
@@ -128,17 +255,17 @@ def main():
     # clip path at the throughput-optimal serving batch — the per-chip
     # serving number BASELINE.json's ">5x frames/sec/chip" targets
     best_bs, best_fps = 1, bs1_fps
-    for bs in (8, 16):
+    for bs in batch_probe:
         try:
             clipb = jnp.asarray(
-                rng.random((bs, 4, 512, 640, 3), dtype=np.float32))
+                rng.random((bs, 4, H, W, 3), dtype=np.float32))
             float(chained(variables, clipb))
             best = np.inf
             for _ in range(2):
                 t0 = time.perf_counter()
                 float(chained(variables, clipb))
                 best = min(best, time.perf_counter() - t0)
-            fps = bs * N_CHAIN / best
+            fps = bs * n_chain / best
             print(f"device-chained throughput bs={bs}: "
                   f"{fps:.2f} frames/sec/chip", file=sys.stderr)
             if fps > best_fps:
@@ -153,6 +280,9 @@ def main():
         "batch": best_bs,
         "bs1_fps": round(bs1_fps, 3),
         **_bracket(best_fps),
+        # smoke mode runs tiny shapes on CPU — mark so the numbers can
+        # never be mistaken for a TPU benchmark
+        **({"smoke": True} if smoke else {}),
     }
 
     # video serving (headline): steady-state streaming — the backbone
@@ -163,16 +293,16 @@ def main():
     try:
         from stswincl_tpu.pipelines.streaming import StreamingSegmenter
 
-        seg = StreamingSegmenter(model, variables, out_hw=(1024, 1280))
+        seg = StreamingSegmenter(model, variables, out_hw=(OH, OW))
         stream_best_bs, stream_best_fps = None, None
-        for bs in (8, 16):
+        for bs in batch_probe:
             # everything per-bs sits inside the try: a bs=16 OOM during
             # cache warmup must not discard an already-measured bs=8 result
             try:
                 frames = jnp.asarray(
-                    rng.random((bs, 512, 640, 3), dtype=np.float32))
+                    rng.random((bs, H, W, 3), dtype=np.float32))
                 cache = seg.init_cache(jnp.asarray(
-                    rng.random((bs, 4, 512, 640, 3), dtype=np.float32)))
+                    rng.random((bs, 4, H, W, 3), dtype=np.float32)))
 
                 @jax.jit
                 def stream_chain(bb_vars, head_vars, cache, frame):
@@ -183,7 +313,7 @@ def main():
                         return (c, jnp.sum(pred).astype(jnp.float32)), ()
 
                     (c, s), _ = jax.lax.scan(
-                        body, (cache, jnp.float32(0.0)), None, length=N_CHAIN)
+                        body, (cache, jnp.float32(0.0)), None, length=n_chain)
                     return s
 
                 args = (seg._bb_vars, seg._head_vars, cache, frames)
@@ -193,7 +323,7 @@ def main():
                     t0 = time.perf_counter()
                     float(stream_chain(*args))
                     best = min(best, time.perf_counter() - t0)
-                fps = bs * N_CHAIN / best
+                fps = bs * n_chain / best
                 print(f"video-serving steady-state bs={bs}: "
                       f"{fps:.2f} frames/sec/chip", file=sys.stderr)
                 if stream_best_fps is None or fps > stream_best_fps:
@@ -210,6 +340,7 @@ def main():
                 "equivalence": "per-frame predictions bit-identical to the "
                                "full-clip forward (tests/test_streaming.py)",
                 **_bracket(stream_best_fps),
+                **({"smoke": True} if smoke else {}),
             }
     except Exception as e:
         print(f"streaming probe skipped: {e}", file=sys.stderr)
@@ -224,4 +355,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--impl":
+        _bench_impl()
+    else:
+        main()
