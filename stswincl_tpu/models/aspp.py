@@ -20,6 +20,8 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stswincl_tpu.models.norm import BN_MOMENTUM, BN_EPSILON
+
 from stswincl_tpu.models.init import torch_conv_kernel_init, torch_bias_init
 
 Dtype = Any
@@ -47,7 +49,7 @@ class ConvBNRelu(nn.Module):
             name="conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPSILON,
             dtype=jnp.float32, name="bn",
         )(x)
         return nn.relu(x.astype(self.dtype))

@@ -25,6 +25,8 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stswincl_tpu.models.norm import BN_MOMENTUM, BN_EPSILON
+
 from stswincl_tpu.models.stswin import TswinPlus
 from stswincl_tpu.models.init import torch_conv_kernel_init, torch_bias_init
 
@@ -44,7 +46,8 @@ class MLP2d(nn.Module):
                     kernel_init=torch_conv_kernel_init,
                     bias_init=torch_bias_init(x.shape[-1]),
                     dtype=self.dtype, name="linear1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPSILON,
                          dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x.astype(self.dtype))
         x = nn.Conv(self.out_dim, (1, 1), use_bias=True,

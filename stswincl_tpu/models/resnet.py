@@ -27,6 +27,8 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stswincl_tpu.models.norm import BN_MOMENTUM, BN_EPSILON
+
 from stswincl_tpu.models.init import torch_conv_kernel_init
 
 Dtype = Any
@@ -57,8 +59,8 @@ class ConvBN(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.9,  # torch momentum 0.1 == flax 0.9
-            epsilon=1e-5,
+            momentum=BN_MOMENTUM,  # torch momentum 0.1 == flax 0.9
+            epsilon=BN_EPSILON,
             dtype=jnp.float32,
             name="bn",
         )(x)

@@ -28,6 +28,8 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stswincl_tpu.models.norm import BN_MOMENTUM, BN_EPSILON
+
 from stswincl_tpu.models.resnet import ResNet18OS8, ResNet50OS16
 from stswincl_tpu.models.swin import SwinTemporalStack
 from stswincl_tpu.models.aspp import ASPP
@@ -48,7 +50,8 @@ class ProjectBNRelu(nn.Module):
         x = nn.Conv(self.features, (1, 1), use_bias=False,
                     kernel_init=torch_conv_kernel_init,
                     dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPSILON,
                          dtype=jnp.float32, name="bn")(x)
         return nn.relu(x.astype(self.dtype))
 
@@ -65,7 +68,8 @@ class Classifier(nn.Module):
         x = nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     kernel_init=torch_conv_kernel_init,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPSILON,
                          dtype=jnp.float32, name="bn")(x)
         x = nn.relu(x.astype(self.dtype))
         x = nn.Conv(self.num_classes, (1, 1), use_bias=True,

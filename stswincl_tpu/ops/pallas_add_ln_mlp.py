@@ -298,6 +298,33 @@ def _epi_bwd_kernel(x_ref, y_ref, g_ref, s2_ref, w1_ref, b1_ref, w2_ref,
         db1_ref[0, :] = vec_s[5, :hidden]
 
 
+def _bwd_per_row(C, hidden, isz):
+    """Per-row VMEM bytes of `fused_epilogue_bwd`: 4 double-buffered (tk, C)
+    streams + fp32 hidden temporaries (pre/dh/dpre + model-dtype h) +
+    C-wide fp32 temps."""
+    return 4 * C * isz * 2 + 3 * hidden * 4 + hidden * isz + 8 * C * 4
+
+
+def _bwd_streamed_per_row(C, hb, isz):
+    """Per-row VMEM bytes of one `fused_epilogue_bwd_streamed` slice call
+    (5 row streams: the extra one is the saved MLP output m)."""
+    return 5 * C * isz * 2 + 3 * hb * 4 + hb * isz + 8 * C * 4
+
+
+def _pick_bwd_row_tile(R, resident, per_row,
+                       budget=64 * 1024 * 1024):
+    """Largest row tile that divides R and fits the VMEM budget, or None.
+
+    None (no tile in {512..8} divides R — e.g. an odd flattened row count
+    from an unusual input shape) means the fused kernels cannot run; the
+    routing predicates below return False for such shapes so the epilogue
+    backward falls back to the XLA vjp instead of crashing at trace time."""
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if R % cand == 0 and resident + cand * per_row <= budget:
+            return cand
+    return None
+
+
 def fused_epilogue_bwd(x, y, s2, b2, w1, b1, w2, bw2, s1, g,
                        gelu_exact=True, eps=1e-5, interpret=False):
     """Fused backward for the whole-epilogue kernel (single-h-block
@@ -318,17 +345,18 @@ def fused_epilogue_bwd(x, y, s2, b2, w1, b1, w2, bw2, s1, g,
     # (pre/dh/dpre + bf16 h) + C-wide fp32 temps. At stage-2 size tk=512
     # measured 108MB on-stack (over the limit); tk=256 fits.
     resident = C * hidden * (2 * isz + 8)
-    per_row = 4 * C * isz * 2 + 3 * hidden * 4 + hidden * isz + 8 * C * 4
+    per_row = _bwd_per_row(C, hidden, isz)
     # Mosaic's actual on-stack allocation runs ~1.5x this static estimate
     # (measured: stage-2 tk=256 estimated 74MB, compiled to 100.85MB), so
     # the budget is set conservatively: stage-1 keeps tk=512 (est 38MB,
     # fits the 100MB limit), stage-2 drops to tk=128.
-    tk = None
-    for cand in (512, 256, 128, 64, 32, 16, 8):
-        if R % cand == 0 and resident + cand * per_row <= 64 * 1024 * 1024:
-            tk = cand
-            break
-    assert tk is not None, (R, C, hidden)
+    tk = _pick_bwd_row_tile(R, resident, per_row)
+    if tk is None:
+        # routing (_epilogue_bwd_applicable) checks the same pick; reaching
+        # here means a caller bypassed it
+        raise ValueError(
+            f"fused_epilogue_bwd: no row tile divides R={R} "
+            f"(C={C}, hidden={hidden}); use the XLA vjp fallback")
 
     row = pl.BlockSpec((tk, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const = lambda i: (0, 0)
@@ -399,7 +427,10 @@ def _epilogue_bwd_applicable(x, w1, dtype):
     hidden = w1.shape[1]
     isz = jnp.dtype(dtype).itemsize
     resident = C * hidden * (2 * isz + 8)
-    return _is_tpu_backend() and resident <= 20 * 1024 * 1024
+    R = x.size // C
+    tk = _pick_bwd_row_tile(R, resident, _bwd_per_row(C, hidden, isz))
+    return (_is_tpu_backend() and resident <= 20 * 1024 * 1024
+            and tk is not None)
 
 
 # ---------------------------------------------------------------------------
@@ -558,13 +589,12 @@ def fused_epilogue_bwd_streamed(x, y, s2, b2, w1, b1, w2, bw2, s1, g, m,
     isz = jnp.dtype(x.dtype).itemsize
 
     resident = C * hb * (2 * isz + 8)
-    per_row = 5 * C * isz * 2 + 3 * hb * 4 + hb * isz + 8 * C * 4
-    tk = None
-    for cand in (512, 256, 128, 64, 32, 16, 8):
-        if R % cand == 0 and resident + cand * per_row <= 64 * 1024 * 1024:
-            tk = cand
-            break
-    assert tk is not None, (R, C, hidden)
+    per_row = _bwd_streamed_per_row(C, hb, isz)
+    tk = _pick_bwd_row_tile(R, resident, per_row)
+    if tk is None:
+        raise ValueError(
+            f"fused_epilogue_bwd_streamed: no row tile divides R={R} "
+            f"(C={C}, hidden={hidden}); use the XLA vjp fallback")
 
     row = pl.BlockSpec((tk, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const = lambda i: (0, 0)
@@ -668,8 +698,13 @@ def _epilogue_bwd_streamed_applicable(x, w1, dtype):
     isz = jnp.dtype(dtype).itemsize
     resident = C * hidden * (2 * isz + 8)
     half = resident // 2
+    R = x.size // C
+    tk = (_pick_bwd_row_tile(R, half,
+                             _bwd_streamed_per_row(C, hidden // 2, isz))
+          if hidden % 2 == 0 else None)
     return (_is_tpu_backend() and resident > 20 * 1024 * 1024
-            and hidden % 2 == 0 and half <= 32 * 1024 * 1024)
+            and hidden % 2 == 0 and half <= 32 * 1024 * 1024
+            and tk is not None)
 
 
 # ---------------------------------------------------------------------------

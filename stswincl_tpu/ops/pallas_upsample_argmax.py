@@ -14,10 +14,13 @@ max/argmax across the class loop — only the int32 prediction tile
 (~1/12th the f32 logit bytes) is ever written to HBM. Works for ANY pair
 of interpolation matrices (align_corners True/False both route here).
 
-Numerics: matmul inputs are bf16 with fp32 accumulation — the same
-demotion XLA applies to the einsum path on this chip
+Numerics: by default matmul inputs are bf16 with fp32 accumulation — the
+same demotion XLA applies to the einsum path on this chip
 (`--xla_allow_excess_precision`); ties resolve to the first class index,
-matching `jnp.argmax`.
+matching `jnp.argmax`. Near-tie predictions can flip vs a full-fp32
+protocol run, so `exact=True` keeps logits and interpolation matrices in
+fp32 end-to-end (the VMEM routing budget accounts for the doubled
+itemsize) — eval paths that claim fp32-protocol parity use that.
 """
 
 from __future__ import annotations
@@ -30,16 +33,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, mh_ref, mwt_ref, out_ref, *, n_classes):
-    """x_ref (1, C, H, W) bf16; mh_ref (HB, H) bf16; mwt_ref (W, OW) bf16;
-    out_ref (1, HB, OW) int32."""
+def _kernel(x_ref, mh_ref, mwt_ref, out_ref, *, n_classes, compute_dtype):
+    """x_ref (1, C, H, W); mh_ref (HB, H); mwt_ref (W, OW) — all
+    `compute_dtype`; out_ref (1, HB, OW) int32."""
     hb, ow = out_ref.shape[1], out_ref.shape[2]
     best = jnp.full((hb, ow), -jnp.inf, jnp.float32)
     idx = jnp.zeros((hb, ow), jnp.int32)
     for c in range(n_classes):
         t = jnp.dot(mh_ref[...], x_ref[0, c],
                     preferred_element_type=jnp.float32)  # (HB, W)
-        y = jnp.dot(t.astype(jnp.bfloat16), mwt_ref[...],
+        y = jnp.dot(t.astype(compute_dtype), mwt_ref[...],
                     preferred_element_type=jnp.float32)  # (HB, OW)
         take = y > best  # strict: ties keep the earlier class (argmax parity)
         idx = jnp.where(take, jnp.int32(c), idx)
@@ -48,24 +51,26 @@ def _kernel(x_ref, mh_ref, mwt_ref, out_ref, *, n_classes):
 
 
 def upsample_argmax_pallas(x_cf: jnp.ndarray, mh: jnp.ndarray,
-                           mw: jnp.ndarray, interpret: bool = False
-                           ) -> jnp.ndarray:
+                           mw: jnp.ndarray, interpret: bool = False,
+                           exact: bool = False) -> jnp.ndarray:
     """(B, C, H, W) logits -> (B, OH, OW) int32 predictions.
 
     `mh` is the (OH, H) row-interpolation matrix and `mw` the (OW, W)
     column matrix (both from `ops.resize`); any sampling convention they
-    encode is honored.
+    encode is honored. `exact=True` runs the interpolation matmuls with
+    fp32 inputs (no bf16 demotion) for fp32-protocol parity.
     """
     B, C, H, W = x_cf.shape
     OH, OW = mh.shape[0], mw.shape[0]
     hb = next(h for h in (128, 64, 32, 16, 8, 4, 2, 1) if OH % h == 0)
-    xb = x_cf.astype(jnp.bfloat16)
-    mhb = mh.astype(jnp.bfloat16)
-    mwtb = mw.astype(jnp.bfloat16).T
+    compute_dtype = jnp.float32 if exact else jnp.bfloat16
+    xb = x_cf.astype(compute_dtype)
+    mhb = mh.astype(compute_dtype)
+    mwtb = mw.astype(compute_dtype).T
 
     grid = (B, OH // hb)
     return pl.pallas_call(
-        functools.partial(_kernel, n_classes=C),
+        functools.partial(_kernel, n_classes=C, compute_dtype=compute_dtype),
         grid=grid,
         in_specs=[
             # the (C, H, W) image block is constant across the row-band
@@ -85,16 +90,19 @@ def upsample_argmax_pallas(x_cf: jnp.ndarray, mh: jnp.ndarray,
 
 
 def fits_pallas_route(B: int, C: int, H: int, W: int, OH: int, OW: int,
-                      budget_bytes: int = 96 * 2**20) -> bool:
+                      budget_bytes: int = 96 * 2**20,
+                      exact: bool = False) -> bool:
     """Static routing check: the per-cell working set must fit VMEM.
 
-    Dominant residents: the bf16 (C, H, W) image block, the bf16 (W, OW)
-    column matrix (double-buffered by Mosaic: x2), the f32 best/y and
-    int32 idx tiles. Only upsampling shapes route (the kernel assumes the
-    band's input span is the whole H)."""
+    Dominant residents: the (C, H, W) image block, the (W, OW) column
+    matrix (double-buffered by Mosaic: x2), the f32 best/y and int32 idx
+    tiles — input itemsize 2 (bf16 default) or 4 (`exact` fp32). Only
+    upsampling shapes route (the kernel assumes the band's input span is
+    the whole H)."""
     if OH < H or OW < W:
         return False
     hb = next(h for h in (128, 64, 32, 16, 8, 4, 2, 1) if OH % h == 0)
-    need = 2 * (2 * C * H * W) + 2 * (2 * W * OW) + 2 * (2 * hb * H)
+    isz = 4 if exact else 2
+    need = 2 * (isz * C * H * W) + 2 * (isz * W * OW) + 2 * (isz * hb * H)
     need += 3 * 4 * hb * OW + 4 * hb * W + 2 * (4 * hb * OW)
     return need < budget_bytes

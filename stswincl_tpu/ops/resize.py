@@ -119,7 +119,8 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp
 
 
 def upsample_argmax(logits: jnp.ndarray, out_h: int, out_w: int,
-                    align_corners: bool = True) -> jnp.ndarray:
+                    align_corners: bool = True,
+                    exact: bool = False) -> jnp.ndarray:
     """Fused full-resolution upsample + argmax: (..., H, W, C) logits ->
     (..., out_h, out_w) int32 predictions.
 
@@ -132,6 +133,10 @@ def upsample_argmax(logits: jnp.ndarray, out_h: int, out_w: int,
     reduces over the untiled class axis. Same numerics as
     `resize_bilinear_align_corners` + argmax (separable interpolation
     matrices commute with the transpose).
+
+    `exact=True` opts the fused kernel out of its default bf16 matmul-input
+    demotion (fp32 end-to-end) for runs claiming fp32-protocol parity —
+    near-tie pixels can otherwise flip class vs the fp32 reference.
     """
     *lead, H, W, C = logits.shape
     xf = logits.astype(jnp.float32).reshape(-1, H, W, C)
@@ -144,11 +149,12 @@ def upsample_argmax(logits: jnp.ndarray, out_h: int, out_w: int,
         from stswincl_tpu.ops.pallas_upsample_argmax import (
             fits_pallas_route, upsample_argmax_pallas)
         B = xcf.shape[0]
-        if _is_tpu_backend() and fits_pallas_route(B, C, H, W, out_h, out_w):
+        if _is_tpu_backend() and fits_pallas_route(B, C, H, W, out_h, out_w,
+                                                   exact=exact):
             # one kernel: the full-res f32 logits (503 MB at the EndoVis
             # eval shape, 14 ms/step of HBM traffic through the XLA
             # einsum path) never leave VMEM — only int32 preds are written
-            pred = upsample_argmax_pallas(xcf, mh, mw)
+            pred = upsample_argmax_pallas(xcf, mh, mw, exact=exact)
             return pred.reshape(*lead, out_h, out_w)
         xcf = jnp.einsum("oh,bchw->bcow", mh, xcf)
         xcf = jnp.einsum("pw,bcow->bcop", mw, xcf)
@@ -159,7 +165,8 @@ def upsample_argmax(logits: jnp.ndarray, out_h: int, out_w: int,
 def composed_upsample_argmax_cf(lcf: jnp.ndarray,
                                 mid_hw: tuple, out_hw: tuple,
                                 align_mid: bool = False,
-                                align_out: bool = True) -> jnp.ndarray:
+                                align_out: bool = True,
+                                exact: bool = False) -> jnp.ndarray:
     """argmax of two chained bilinear upsamples, from channels-first
     head-resolution logits, with the resizes composed into one matrix pair.
 
@@ -192,8 +199,9 @@ def composed_upsample_argmax_cf(lcf: jnp.ndarray,
     from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
     from stswincl_tpu.ops.pallas_upsample_argmax import (
         fits_pallas_route, upsample_argmax_pallas)
-    if _is_tpu_backend() and fits_pallas_route(B, C, h, w, out_h, out_w):
-        return upsample_argmax_pallas(lcf, mh, mw)
+    if _is_tpu_backend() and fits_pallas_route(B, C, h, w, out_h, out_w,
+                                               exact=exact):
+        return upsample_argmax_pallas(lcf, mh, mw, exact=exact)
     y = jnp.einsum("oh,bchw->bcow", mh, lcf.astype(jnp.float32))
     y = jnp.einsum("pw,bcow->bcop", mw, y)
     return jnp.argmax(y, axis=1).astype(jnp.int32)

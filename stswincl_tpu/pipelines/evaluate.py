@@ -95,57 +95,66 @@ def evaluate_split(model, params, batch_stats, dataset, cfg: SegTrainConfig,
     # infers strictly serially (`seg18/test.py:148-160`)
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=1)
-    nxt = pool.submit(dataset.get, 0, _seeded_rng(0, 0, 0)) if n else None
-    for i in range(n):
-        sample = nxt.result()
-        if i + 1 < n:
-            nxt = pool.submit(dataset.get, i + 1, _seeded_rng(0, 0, i + 1))
-        clip = sample["image"][None]  # (1, t, H, W, 3)
-        label = sample["label"]
-        tic = time.perf_counter()
-        path = sample.get("path")
-        if (segmenter is not None and cache is not None
-                and prev_path is not None and path is not None
-                and dataset.sliding_from(prev_path, path)):
-            cache, pred = segmenter.predict_next(
-                cache, jnp.asarray(clip[:, -1]))
-            streamed += 1
-        elif segmenter is not None:
-            # non-sliding frame: seed the cache and predict in ONE forward
-            cache, pred = segmenter.init_and_predict(jnp.asarray(clip))
-        else:
-            pred = eval_step(params, batch_stats, clip)
-        prev_path = path
-        pred = np.asarray(pred[0])
-        timings.append(time.perf_counter() - tic)
-        if pred.shape != label.shape:
-            # score at the label's resolution: crop/resize mismatch guard for
-            # synthetic/val paths where eval_hw differs from label size
-            if i == 0:
-                import logging
-                logging.getLogger("stswincl").warning(
-                    "evaluate_split: prediction %s resized (nearest) to label "
-                    "%s — protocol deviation from eval_hw=%s",
-                    pred.shape, label.shape, cfg.eval_hw)
-            from PIL import Image
-            pred = np.asarray(
-                Image.fromarray(pred.astype(np.int32), mode="I").resize(
-                    (label.shape[1], label.shape[0]), Image.NEAREST))
-        if viz_dir:
+    try:
+        nxt = pool.submit(dataset.get, 0, _seeded_rng(0, 0, 0)) if n else None
+        for i in range(n):
+            try:
+                sample = nxt.result()
+            except Exception as e:
+                # a prefetch exception would otherwise surface one loop
+                # iteration late, attributed to the wrong frame
+                raise RuntimeError(
+                    f"prefetch of eval sample {i} failed") from e
+            if i + 1 < n:
+                nxt = pool.submit(dataset.get, i + 1,
+                                  _seeded_rng(0, 0, i + 1))
+            clip = sample["image"][None]  # (1, t, H, W, 3)
+            label = sample["label"]
+            tic = time.perf_counter()
             path = sample.get("path")
-            name = (f"seq{path[0]}_frame{path[1]}" if path is not None
-                    else f"frame{i:05d}")
-            save_prediction(
-                os.path.join(viz_dir, name + ".png"), pred,
-                colormap=None if is_cadis else ENDOVIS_COLORMAP,
-                cadis_tag=cfg.data.tag if is_cadis else None)
-        if is_cadis:
-            cm.update(label, pred)
-        else:
-            seq = sample["path"][0]
-            evaluator.update(label, pred, int(seq))
+            if (segmenter is not None and cache is not None
+                    and prev_path is not None and path is not None
+                    and dataset.sliding_from(prev_path, path)):
+                cache, pred = segmenter.predict_next(
+                    cache, jnp.asarray(clip[:, -1]))
+                streamed += 1
+            elif segmenter is not None:
+                # non-sliding frame: seed the cache and predict in ONE forward
+                cache, pred = segmenter.init_and_predict(jnp.asarray(clip))
+            else:
+                pred = eval_step(params, batch_stats, clip)
+            prev_path = path
+            pred = np.asarray(pred[0])
+            timings.append(time.perf_counter() - tic)
+            if pred.shape != label.shape:
+                # score at the label's resolution: crop/resize mismatch guard for
+                # synthetic/val paths where eval_hw differs from label size
+                if i == 0:
+                    import logging
+                    logging.getLogger("stswincl").warning(
+                        "evaluate_split: prediction %s resized (nearest) to label "
+                        "%s — protocol deviation from eval_hw=%s",
+                        pred.shape, label.shape, cfg.eval_hw)
+                from PIL import Image
+                pred = np.asarray(
+                    Image.fromarray(pred.astype(np.int32), mode="I").resize(
+                        (label.shape[1], label.shape[0]), Image.NEAREST))
+            if viz_dir:
+                path = sample.get("path")
+                name = (f"seq{path[0]}_frame{path[1]}" if path is not None
+                        else f"frame{i:05d}")
+                save_prediction(
+                    os.path.join(viz_dir, name + ".png"), pred,
+                    colormap=None if is_cadis else ENDOVIS_COLORMAP,
+                    cadis_tag=cfg.data.tag if is_cadis else None)
+            if is_cadis:
+                cm.update(label, pred)
+            else:
+                seq = sample["path"][0]
+                evaluator.update(label, pred, int(seq))
 
-    pool.shutdown(wait=False)
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     if is_cadis:
         pa = pixel_accuracy(cm.matrix)
         pac, pac_c = pixel_accuracy_per_class(cm.matrix)

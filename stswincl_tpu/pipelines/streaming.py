@@ -128,6 +128,10 @@ class StreamingSegmenter:
         `out_hw` — True for EndoVis (`seg18/test.py:155`), False for CaDIS
         (`segcata/cata_test.py:129`)."""
         self.out_hw = out_hw
+        # fp32 models get the fp32 resize+argmax (no bf16 demotion at
+        # near-tie pixels); bf16 serving keeps the fast kernel — mirrors
+        # make_seg_eval_step so streamed == full-clip stays bit-equal
+        exact = model.dtype == jnp.float32
         backbone = _Backbone(model.swin_dim, model.dtype)
         head = _Head(model.num_classes, model.swin_dim, model.num_heads,
                      model.attn_impl, model.dtype,
@@ -164,7 +168,8 @@ class StreamingSegmenter:
             mid = (lcf.shape[2] * 8, lcf.shape[3] * 8)
             hw = out_hw if out_hw is not None else mid
             pred = composed_upsample_argmax_cf(lcf, mid, hw,
-                                               align_out=align_out)
+                                               align_out=align_out,
+                                               exact=exact)
             return (feats, g_a, g_b), pred
 
         @jax.jit
@@ -177,7 +182,8 @@ class StreamingSegmenter:
             mid = (lcf.shape[2] * 8, lcf.shape[3] * 8)
             hw = out_hw if out_hw is not None else mid
             pred = composed_upsample_argmax_cf(lcf, mid, hw,
-                                               align_out=align_out)
+                                               align_out=align_out,
+                                               exact=exact)
             return (feats, g_b, g_new), pred
 
         self._init_cache_fn = _init_cache

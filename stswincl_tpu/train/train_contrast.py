@@ -77,9 +77,10 @@ def _encode_train(model, params, stats, clip):
     return out, updates["batch_stats"]
 
 
-# every BatchNorm in the model family uses momentum=0.9 (torch 0.1,
-# models/*.py); the key-pass stats chain folds with the same constant
-BN_MOMENTUM = 0.9
+# the stats-chain fold constant MUST equal the in-module BatchNorm
+# momentum; both import the same source of truth (models/norm.py), so a
+# model family changing its momentum changes the fold with it
+from stswincl_tpu.models.norm import BN_MOMENTUM
 
 
 def make_key_pass(model) -> Callable:

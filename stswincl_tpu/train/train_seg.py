@@ -141,7 +141,8 @@ def make_seg_train_step(
 
 def make_seg_eval_step(model, out_hw: Optional[Tuple[int, int]] = None,
                        align_corners: bool = True,
-                       head_res_logits: bool = True) -> Callable:
+                       head_res_logits: bool = True,
+                       exact: Optional[bool] = None) -> Callable:
     """Jitted eval: clip -> predicted class map.
 
     Replicates the reference test loops INSIDE one XLA program: forward,
@@ -159,9 +160,18 @@ def make_seg_eval_step(model, out_hw: Optional[Tuple[int, int]] = None,
     tensor is ever materialized (each cost ~13 ms/batch through XLA at the
     EndoVis eval shape). Pass False for models without the kwarg — they
     return finished NHWC logits at their own output resolution.
+
+    ``exact`` opts the fused resize+argmax kernel out of its bf16
+    matmul-input demotion. Default (None): follow the model's compute
+    dtype — an fp32 model gets the fp32 resize so a full-fp32 parity run
+    really is fp32 end-to-end (near-tie pixels can otherwise flip class);
+    a bf16 serving model keeps the fast path.
     """
     from stswincl_tpu.ops.resize import (
         composed_upsample_argmax_cf, upsample_argmax)
+
+    if exact is None:
+        exact = getattr(model, "dtype", jnp.float32) == jnp.float32
 
     @jax.jit
     def eval_step(params, batch_stats, images):
@@ -172,9 +182,11 @@ def make_seg_eval_step(model, out_hw: Optional[Tuple[int, int]] = None,
                               head_res_logits=True)
             hw = out_hw if out_hw is not None else mid
             return composed_upsample_argmax_cf(lcf, mid, hw,
-                                               align_out=align_corners)
+                                               align_out=align_corners,
+                                               exact=exact)
         logits = model.apply(variables, images, train=False)
         hw = out_hw if out_hw is not None else logits.shape[-3:-1]
-        return upsample_argmax(logits, *hw, align_corners=align_corners)
+        return upsample_argmax(logits, *hw, align_corners=align_corners,
+                               exact=exact)
 
     return eval_step

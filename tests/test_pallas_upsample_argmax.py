@@ -125,3 +125,30 @@ def test_deeplab_head_res_fast_path_matches_legacy(rng):
     got = composed_upsample_argmax_cf(lcf, (32, 64), (64, 128),
                                       align_out=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_exact_mode_matches_f32_path_exactly(rng):
+    """exact=True keeps logits and interpolation matrices fp32 end-to-end:
+    the kernel must agree with the f32 XLA einsum path on EVERY pixel,
+    including near-ties the bf16 default can flip (round-4 advisor
+    finding: fp32-protocol parity runs need this opt-out)."""
+    x = jnp.asarray(rng.standard_normal((2, 5, 16, 24)).astype(np.float32))
+    for mat in (_align_corners_matrix, _half_pixel_matrix):
+        mh = mat(16, 32).astype(jnp.float32)
+        mw = mat(24, 48).astype(jnp.float32)
+        got = np.asarray(
+            upsample_argmax_pallas(x, mh, mw, interpret=True, exact=True))
+        t = jnp.einsum("oh,bchw->bcow", mh, x)
+        y = jnp.einsum("pw,bcow->bcop", mw, t)
+        want = np.asarray(jnp.argmax(y, axis=1).astype(jnp.int32))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_exact_routing_budget_doubles():
+    # a budget that admits the bf16 working set but not the fp32 one
+    assert fits_pallas_route(8, 12, 512, 640, 1024, 1280)
+    bf16_ok = fits_pallas_route(8, 12, 512, 640, 1024, 1280,
+                                budget_bytes=24 * 2 ** 20)
+    f32_ok = fits_pallas_route(8, 12, 512, 640, 1024, 1280,
+                               budget_bytes=24 * 2 ** 20, exact=True)
+    assert bf16_ok and not f32_ok
