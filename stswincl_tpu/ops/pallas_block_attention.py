@@ -167,7 +167,7 @@ def windowed_attention_image(qkv, bias_tiled, mask_tiled, heads, scale, ws,
 
 def _full_kernel(x_ref, xnext_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                  bias_ref, mask_ref, out_ref, qkv_scr, *, heads, scale, ws,
-                 single_mask, qkv_chunks, shift):
+                 single_mask, qkv_chunks, shift, band_rows=1):
     """Fully fused swin attention for one row of windows: qkv projection,
     per-window per-head attention, and output projection — weights stay
     VMEM-resident across cells (constant index maps).
@@ -187,16 +187,22 @@ def _full_kernel(x_ref, xnext_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     with an in-VMEM shuffle measured at ~0.08 ms. The W-axis rotation is
     slice+concat because Mosaic's rotate lowering rejects non-32-bit data.
 
-    x_ref: (1, T, ws, W, C); xnext_ref: same (only read when shift > 0);
-    wqkv: (C, 3C); wproj: (C, C); biases (1, *);
-    bias_ref: (heads, TN, TN); mask_ref: (nW|1, TN, TN);
-    out_ref: (1, T, ws, W, C); qkv_scr: (rows, 3C) scratch.
+    `band_rows` > 1 processes that many window ROWS per grid cell (block
+    height band_rows*ws): the qkv/proj matmuls get band_rows-x bigger M and
+    the per-cell fixed costs amortize; the per-window attention loop simply
+    runs band_rows*nW times. Grid cells shrink to (B, nH/band_rows); the
+    shift logic is unchanged (shift < ws <= band height).
+
+    x_ref: (1, T, band_rows*ws, W, C); xnext_ref: same (read when
+    shift > 0); wqkv: (C, 3C); wproj: (C, C); biases (1, *);
+    bias_ref: (heads, TN, TN); mask_ref: (band_rows*nW|1, TN, TN);
+    out_ref: (1, T, band_rows*ws, W, C); qkv_scr: (rows, 3C) scratch.
     """
-    _, T, _, Wd, C = x_ref.shape
+    _, T, BH, Wd, C = x_ref.shape
     hd = C // heads
     nW = Wd // ws
     TN = T * ws * ws
-    rows = T * ws * Wd
+    rows = T * BH * Wd
 
     if shift:
         band = jnp.concatenate(
@@ -212,39 +218,45 @@ def _full_kernel(x_ref, xnext_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                        preferred_element_type=jnp.float32)
         qkv_scr[i * ck:(i + 1) * ck] = (
             part + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
-    qkv = qkv_scr[:].reshape(T, ws, Wd, 3 * C)
+    qkv = qkv_scr[:].reshape(T, BH, Wd, 3 * C)
 
-    win_outs = []
-    for j in range(nW):
-        win = qkv[:, :, j * ws:(j + 1) * ws, :].reshape(TN, 3 * C)
-        mask = mask_ref[0 if single_mask else j].astype(jnp.float32)
-        outs = []
-        for h in range(heads):
-            # q/k stay in the input dtype: bf16 MXU inputs with fp32
-            # accumulation — the einsum model path's exact semantics
-            # (ops/attention.py:57) and the fast MXU path (an fp32 dot
-            # runs multi-pass on the MXU)
-            q = win[:, h * hd:(h + 1) * hd] * scale
-            k = win[:, C + h * hd:C + (h + 1) * hd]
-            v = win[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
-            scores = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            scores = scores + bias_ref[h].astype(jnp.float32) + mask
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
-            o = jnp.dot(p.astype(v.dtype), v,
-                        preferred_element_type=jnp.float32)
-            outs.append(o.astype(x.dtype))
-        win_outs.append(
-            jnp.concatenate(outs, axis=-1).reshape(T, ws, ws, C))
-    attn_row = jnp.concatenate(win_outs, axis=2)  # (T, ws, W, C)
+    row_outs = []
+    for wr in range(band_rows):
+        win_outs = []
+        for j in range(nW):
+            win = qkv[:, wr * ws:(wr + 1) * ws,
+                      j * ws:(j + 1) * ws, :].reshape(TN, 3 * C)
+            mask = mask_ref[0 if single_mask
+                            else wr * nW + j].astype(jnp.float32)
+            outs = []
+            for h in range(heads):
+                # q/k stay in the input dtype: bf16 MXU inputs with fp32
+                # accumulation — the einsum model path's exact semantics
+                # (ops/attention.py:57) and the fast MXU path (an fp32 dot
+                # runs multi-pass on the MXU)
+                q = win[:, h * hd:(h + 1) * hd] * scale
+                k = win[:, C + h * hd:C + (h + 1) * hd]
+                v = win[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+                scores = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                scores = scores + bias_ref[h].astype(jnp.float32) + mask
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                e = jnp.exp(scores - m)
+                p = e / jnp.sum(e, axis=-1, keepdims=True)
+                o = jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32)
+                outs.append(o.astype(x.dtype))
+            win_outs.append(
+                jnp.concatenate(outs, axis=-1).reshape(T, ws, ws, C))
+        row_outs.append(jnp.concatenate(win_outs, axis=2))  # (T, ws, W, C)
+    attn_row = (row_outs[0] if band_rows == 1
+                else jnp.concatenate(row_outs, axis=1))  # (T, BH, W, C)
 
     flat = attn_row.reshape(rows, C)
     out = jnp.dot(flat, wproj_ref[:], preferred_element_type=jnp.float32)
     out = out + bproj_ref[0].astype(jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype).reshape(T, ws, Wd, C)
+    out_ref[0] = out.astype(out_ref.dtype).reshape(T, BH, Wd, C)
 
 
 def fused_swin_block_attention_ref(x, wqkv, bqkv, wproj, bproj, bias_tiled,
@@ -267,10 +279,24 @@ def fused_swin_block_attention_ref(x, wqkv, bqkv, wproj, bproj, bias_tiled,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _resolve_band_rows(band_rows, nH, T, ws, W, C, isz):
+    """Window rows per grid cell. None -> the STSWIN_ATTN_BAND_ROWS env
+    default (profiling knob; 1 until a device measurement says otherwise).
+    Falls back to 1 when nH isn't divisible or the qkv scratch would blow
+    the VMEM budget."""
+    if band_rows is None:
+        import os
+        band_rows = int(os.environ.get("STSWIN_ATTN_BAND_ROWS", "1"))
+    if band_rows <= 1 or nH % band_rows:
+        return 1
+    scratch = T * band_rows * ws * W * 3 * C * isz
+    return band_rows if scratch <= 24 * 1024 * 1024 else 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
                                mask_tiled, heads, scale, ws, shift=0,
-                               interpret=False):
+                               interpret=False, band_rows=None):
     """Whole shifted-window attention sub-block (qkv -> windowed attention
     -> proj) as one Pallas kernel. x: (B, T, H, W, C).
 
@@ -280,44 +306,54 @@ def fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
     OUTPUT stays in shifted layout — pair with
     `pallas_add_ln_mlp.fused_swin_block_epilogue_shifted`, which absorbs
     the inverse shift, so no rolled tensor ever exists in HBM.
+
+    `band_rows` (default: env STSWIN_ATTN_BAND_ROWS, else 1) processes
+    several window rows per grid cell — bigger qkv/proj matmul M, fewer
+    cells (see `_full_kernel`). Numerics are band-independent (parity
+    test: tests/test_pallas_block_attention.py).
     """
     B, T, H, W, C = x.shape
     nH, nW = H // ws, W // ws
     TN = T * ws * ws
     n_mask = mask_tiled.shape[0]
     single_mask = n_mask == 1
+    isz = jnp.dtype(x.dtype).itemsize
+    br = _resolve_band_rows(band_rows, nH, T, ws, W, C, isz)
+    n_cells = nH // br
 
     if single_mask:
         mask_spec = pl.BlockSpec((1, TN, TN), lambda b, i: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        mask_spec = pl.BlockSpec((nW, TN, TN), lambda b, i: (i, 0, 0),
+        # one block = the br*nW masks of this cell's window rows
+        mask_spec = pl.BlockSpec((br * nW, TN, TN), lambda b, i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
 
     const = lambda b, i: (0, 0)
-    rows = T * ws * W
+    rows = T * br * ws * W
     # chunk the qkv projection when the fp32 whole-row intermediate would
     # be large (stage-2 C=1024: measured ~4% faster; chunks must divide
     # rows and keep M a sublane multiple). The shifted path always chunks:
     # the extra input block + band temporaries need the VMEM back.
-    qkv_chunks = 4 if ((C >= 1024 or shift) and rows % 4 == 0 and
-                       (rows // 4) % 8 == 0) else 1
-    band_spec = pl.BlockSpec((1, T, ws, W, C), lambda b, i: (b, 0, i, 0, 0),
+    qkv_chunks = (4 if ((C >= 1024 or shift or br > 1) and rows % 4 == 0 and
+                        (rows // 4) % 8 == 0) else 1)
+    band_spec = pl.BlockSpec((1, T, br * ws, W, C),
+                             lambda b, i: (b, 0, i, 0, 0),
                              memory_space=pltpu.VMEM)
     next_spec = pl.BlockSpec(
-        (1, T, ws, W, C), lambda b, i: (b, 0, (i + 1) % nH, 0, 0),
+        (1, T, br * ws, W, C), lambda b, i: (b, 0, (i + 1) % n_cells, 0, 0),
         memory_space=pltpu.VMEM)
     # the un-shifted path never reads xnext: fetch block 0 constantly so it
     # costs one buffer, not a second stream
     if not shift:
-        next_spec = pl.BlockSpec((1, T, ws, W, C),
+        next_spec = pl.BlockSpec((1, T, br * ws, W, C),
                                  lambda b, i: (0, 0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_full_kernel, heads=heads, scale=scale, ws=ws,
                           single_mask=single_mask, qkv_chunks=qkv_chunks,
-                          shift=shift),
-        grid=(B, nH),
+                          shift=shift, band_rows=br),
+        grid=(B, n_cells),
         in_specs=[
             band_spec,
             next_spec,
@@ -329,13 +365,14 @@ def fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
                          memory_space=pltpu.VMEM),
             mask_spec,
         ],
-        out_specs=pl.BlockSpec((1, T, ws, W, C),
+        out_specs=pl.BlockSpec((1, T, br * ws, W, C),
                                lambda b, i: (b, 0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((rows, 3 * C), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024) if shift else None,
+            vmem_limit_bytes=(64 if br > 1 else 32) * 1024 * 1024)
+        if (shift or br > 1) else None,
         interpret=interpret,
     )(x, x, wqkv.astype(x.dtype), bqkv[None].astype(jnp.float32),
       wproj.astype(x.dtype), bproj[None].astype(jnp.float32),
@@ -555,14 +592,14 @@ def fused_swin_block_attention_bwd(x, wqkv, bqkv, wproj, bias_tiled,
 
 
 def _fsba_fwd(x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled,
-              heads, scale, ws, shift, interpret):
+              heads, scale, ws, shift, interpret, band_rows):
     out = fused_swin_block_attention(x, wqkv, bqkv, wproj, bproj, bias_tiled,
                                      mask_tiled, heads, scale, ws, shift,
-                                     interpret)
+                                     interpret, band_rows)
     return out, (x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled)
 
 
-def _fsba_bwd(heads, scale, ws, shift, interpret, res, g):
+def _fsba_bwd(heads, scale, ws, shift, interpret, band_rows, res, g):
     x, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled = res
     from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
     if not interpret and _is_tpu_backend():

@@ -375,3 +375,59 @@ def test_full_fused_grads_route_through_bwd_kernel_shifted(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4,
             err_msg=name)
+
+
+def test_full_fused_band_rows_matches_single_row(rng):
+    """band_rows=2 (two window rows per grid cell) must be bit-identical to
+    the default one-row kernel — the band size is a scheduling choice, not
+    a numerics one. Covers W-MSA (mask=None path uses single_mask) and
+    SW-MSA (per-window masks, block = this cell's 2*nW masks) plus the
+    in-kernel shift. Comparison is tight-allclose, not bit-equal: XLA:CPU's
+    dot reduction order is M-shape-dependent (interpret mode), so the
+    band's bigger-M matmuls can differ by ulps."""
+    from stswincl_tpu.ops.pallas_block_attention import (
+        fused_swin_block_attention, fused_swin_block_attention_ref)
+
+    B, T, H, W, C, heads, ws = 1, 2, 16, 12, 32, 2, 4  # nH=4: br=2 divides
+    TN = T * ws * ws
+    N = ws * ws
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+    wqkv = jnp.asarray(
+        rng.standard_normal((C, 3 * C)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.standard_normal(3 * C).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.standard_normal((C, C)).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+    table = rng.standard_normal(
+        ((2 * ws - 1) ** 2, heads)).astype(np.float32) * 0.02
+    idx = relative_position_index(ws, ws)
+    bias = table[idx.reshape(-1)].reshape(N, N, heads).transpose(2, 0, 1)
+    bias_tiled = jnp.asarray(np.tile(bias, (1, T, T)))
+    m = shifted_window_attention_mask(H, W, ws, 2)
+    mask_tiled = jnp.asarray(np.tile(m, (1, T, T)))
+    zeros_mask = jnp.zeros((1, TN, TN), jnp.float32)
+    scale = (C // heads) ** -0.5
+
+    for shift, mask in ((0, zeros_mask), (0, mask_tiled), (2, mask_tiled)):
+        one = fused_swin_block_attention(
+            x, wqkv, bqkv, wproj, bproj, bias_tiled, mask, heads, scale,
+            ws, shift, True, 1)
+        two = fused_swin_block_attention(
+            x, wqkv, bqkv, wproj, bproj, bias_tiled, mask, heads, scale,
+            ws, shift, True, 2)
+        np.testing.assert_allclose(np.asarray(one), np.asarray(two),
+                                   rtol=1e-5, atol=1e-6)
+        want = fused_swin_block_attention_ref(
+            x, wqkv, bqkv, wproj, bproj, bias_tiled, mask, heads, scale,
+            ws, shift)
+        np.testing.assert_allclose(np.asarray(two), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    # an nH-indivisible band request silently falls back to 1 row
+    fb = fused_swin_block_attention(
+        x, wqkv, bqkv, wproj, bproj, bias_tiled, zeros_mask, heads, scale,
+        ws, 0, True, 3)
+    base = fused_swin_block_attention(
+        x, wqkv, bqkv, wproj, bproj, bias_tiled, zeros_mask, heads, scale,
+        ws, 0, True, 1)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
