@@ -98,6 +98,48 @@ def test_full_width_seg_train_step_sharded_matches_single(rng):
 
 
 @pytest.mark.slow
+def test_full_width_contrast_train_step_sharded_matches_single(rng):
+    """Production width (swin_dim=512) for the STAGE-2 contrastive step:
+    round-3 review noted the cross-chip-negative-pool claim (the loss's
+    class-sum contraction over the sharded batch axis) had width-512
+    evidence only on the seg side. depths=(1, 1) + the same tiny spatial
+    dims as the seg width test keep the CPU compile tractable — width is
+    the dimension under test; the 64-wide test below covers full depth.
+    Ref envelope: `pixcontrast_18/main_pretrain_swinv5.py:54`,
+    `contrast/util.py:47-58`."""
+    model = ContrastEncoder(num_classes=5, swin_dim=512, swin_depths=(1, 1))
+    clips = jnp.asarray(
+        rng.standard_normal((8, 6, 4, 64, 128, 3)).astype(np.float32))
+    labels = jnp.asarray(
+        rng.integers(0, 5, size=(8, 6, 64, 128)).astype(np.int32))
+    variables = model.init(jax.random.key(0), clips[:, 0], train=False)
+    tx = make_lars(0.1)
+    step = make_contrast_train_step(model, tx, class_num=5, total_steps=100)
+
+    s_a = ContrastTrainState.create(variables, tx)
+    s_a, m_a = step(s_a, clips, labels)
+    # force the single-layout execution to finish before dispatching the
+    # sharded one: both are ~20GB-peak XLA:CPU programs and dispatch is
+    # async — letting them run concurrently aborts the process (observed:
+    # silent SIGABRT at the first blocking fetch, tests green when the two
+    # executions are serialized)
+    jax.block_until_ready(m_a)
+
+    mesh = make_mesh(8)
+    s_b = ContrastTrainState.create(variables, tx)
+    s_b = replicate(s_b, mesh)
+    sb = shard_batch({"clips": clips, "labels": labels}, mesh)
+    s_b, m_b = step(s_b, sb["clips"], sb["labels"])
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    assert _max_tree_diff(s_a.params_q, s_b.params_q) < 1e-4
+    assert _max_tree_diff(s_a.params_k, s_b.params_k) < 1e-4
+    # the folded BN running-stats chain must agree across layouts too
+    assert _max_tree_diff(s_a.stats_k, s_b.stats_k) < 1e-4
+
+
+@pytest.mark.slow
 def test_full_contrast_train_step_sharded_matches_single(rng):
     model = ContrastEncoder(num_classes=5, swin_dim=64)
     clips = jnp.asarray(
