@@ -179,12 +179,18 @@ class WindowAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, shift: int = 0):
+    def __call__(self, x, mask, shift: int = 0, raw_params: bool = False):
         """`shift` > 0 selects the roll-free SW-MSA path: x is UNSHIFTED
         and the fused kernel performs the cyclic shift in VMEM; the output
         stays in shifted layout (the caller's epilogue absorbs the inverse).
         Only valid when the routing resolves to 'pallas_full' — use
-        `resolve_attn_impl` before asking for it."""
+        `resolve_attn_impl` before asking for it.
+
+        `raw_params=True` (pallas_full route only) creates the same
+        variable tree but returns the raw tensors
+        (wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled) for a caller
+        that fuses attention into a larger kernel
+        (`pallas_swin_block.fused_whole_swin_block`)."""
         B, T, H, W, C = x.shape
         ws = self.window_size[0]
         nH, nW_ = H // ws, W // ws
@@ -209,6 +215,8 @@ class WindowAttention(nn.Module):
         impl = resolve_attn_impl(self.attn_impl, C, self.dim, self.dtype)
         assert shift == 0 or impl == "pallas_full", (
             "shift-in-kernel is only implemented by the pallas_full route")
+        assert not raw_params or impl == "pallas_full", (
+            "raw_params is only meaningful on the pallas_full route")
 
         if impl == "pallas_full":
             # whole sub-block (qkv -> attention -> proj) in one kernel with
@@ -222,6 +230,8 @@ class WindowAttention(nn.Module):
                 mask_tiled = jnp.zeros((1, TN, TN), jnp.float32)
             else:
                 mask_tiled = jnp.tile(mask.astype(jnp.float32), (1, T, T))
+            if raw_params:
+                return wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled
             return fused_swin_block_attention(
                 x.astype(self.dtype), wqkv, bqkv, wproj, bproj,
                 bias_tiled, mask_tiled, heads, scale, ws, shift)
@@ -312,6 +322,35 @@ class SpaceTimeSwinBlock(nn.Module):
             mask = None
 
         from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+        # whole-block fusion (W-MSA): qkv -> attention -> proj -> residual
+        # -> LN2 -> MLP -> LN1 as ONE kernel — x is read once and the block
+        # output written once, instead of the five per-block HBM touches of
+        # the attention+epilogue pair (ops/pallas_swin_block.py)
+        if (ss == 0 and out_frame is None and _is_tpu_backend()
+                and resolve_attn_impl(self.attn_impl, C, self.dim,
+                                      self.dtype) == "pallas_full"):
+            from stswincl_tpu.ops.pallas_swin_block import (
+                fused_whole_swin_block, whole_block_applicable)
+            hidden = int(self.dim * self.mlp_ratio)
+            if whole_block_applicable((B, T, H, W, C), self.dtype, self.dim,
+                                      hidden, ws, ss, out_frame):
+                xi = x.astype(self.dtype).reshape(B, T, H, W, C)
+                wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled = \
+                    WindowAttention(
+                        self.dim, (ws, ws), self.num_heads,
+                        attn_impl=self.attn_impl, dtype=self.dtype,
+                        name="attn")(xi, mask, raw_params=True)
+                s2, b2 = _NormParams(self.dim, name="norm2")()
+                s1, b1n = _NormParams(self.dim, name="norm1")()
+                w1, bw1, w2, bw2 = _MlpParams(self.dim, hidden,
+                                              name="mlp")()
+                out = fused_whole_swin_block(
+                    xi, wqkv, bqkv, wproj, bproj, bias_tiled, mask_tiled,
+                    s2, b2, w1, bw1, w2, bw2, s1, b1n, self.num_heads,
+                    (self.dim // self.num_heads) ** -0.5, ws,
+                    self.gelu_exact)
+                return out.reshape(B, T, L, C)
+
         # roll-free SW-MSA: the fused attention kernel shifts in VMEM and
         # the image-aware epilogue reads the inverse shift back, so neither
         # cyclic roll is materialized in HBM (the 4-row-misaligned XLA

@@ -180,20 +180,26 @@ def make_contrast_train_step(
         return lab.reshape(labels.shape[0], labels.shape[1], h * w)
 
     def loss_fn(params_q, stats_q, params_k, stats_k, clips, labels):
-        # query passes on views 0 and 1 (grad) — parallel, like the key
+        # query passes on views 0 and 1 (grad) — independent, like the key
         # pass: train-mode BN outputs never read the running-stats carry,
-        # so the two view forwards vmap and the 2-step stats EMA chain is
-        # rebuilt afterwards (see `make_key_pass` for the derivation)
+        # so the two view forwards run as unrolled independent programs and
+        # the 2-step stats EMA chain is rebuilt afterwards (see
+        # `make_key_pass` for the derivation). Unrolled rather than vmapped
+        # because this pass is DIFFERENTIATED: vmap of the Pallas
+        # custom_vjp backward kernels faults the TPU (their sequential-grid
+        # weight-gradient accumulators index `pl.program_id` by literal
+        # axis, which the batching rule's prepended grid dimension
+        # invalidates — device-bisected 2026-08-19). The forward-only key
+        # pass keeps vmap.
         zeros = jax.tree.map(jnp.zeros_like, stats_q)
-        qs, upd0_q = jax.vmap(
-            lambda clip: encode_q(params_q, zeros, clip)
-        )(jnp.swapaxes(clips[:, :2], 0, 1))
+        q1, upd_q1 = encode_q(params_q, zeros, clips[:, 0])
+        q2, upd_q2 = encode_q(params_q, zeros, clips[:, 1])
+        upd0_q = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                              upd_q1, upd_q2)
         stats_q2, _ = jax.lax.scan(
             lambda s, u: (jax.tree.map(
                 lambda sv, uv: BN_MOMENTUM * sv + uv, s, u), None),
             stats_q, upd0_q)
-        q1 = jax.tree.map(lambda x: x[0], qs)
-        q2 = jax.tree.map(lambda x: x[1], qs)
         # key passes on all 6 views (no grad through params_k)
         keys, new_stats_k = key_pass(params_k, stats_k, clips)
         keys = jax.lax.stop_gradient(keys)
