@@ -325,7 +325,10 @@ class SpaceTimeSwinBlock(nn.Module):
         # whole-block fusion (W-MSA): qkv -> attention -> proj -> residual
         # -> LN2 -> MLP -> LN1 as ONE kernel — x is read once and the block
         # output written once, instead of the five per-block HBM touches of
-        # the attention+epilogue pair (ops/pallas_swin_block.py)
+        # the attention+epilogue pair. OPT-IN (STSWIN_WHOLE_BLOCK=1): the
+        # fusion measured 3-4% slower end to end than the pair — the block
+        # is compute-bound and the pair pipelines better (see the measured
+        # negative result in ops/pallas_swin_block.py)
         if (ss == 0 and out_frame is None and _is_tpu_backend()
                 and resolve_attn_impl(self.attn_impl, C, self.dim,
                                       self.dtype) == "pallas_full"):

@@ -26,6 +26,20 @@ attention output in HBM (`fused_swin_block_epilogue_shifted`); in a single
 kernel that tensor no longer exists, so SW blocks keep the existing
 roll-free pair. Blocks alternate W/SW, so half of every stack routes here.
 
+MEASURED NEGATIVE RESULT (2026-08-19, device, same-session A/B via
+`bench.py` with `STSWIN_WHOLE_BLOCK=1` vs `0`): the fusion LOSES ~3-4%
+end to end — clip path 81.5 vs 83.9 fps/chip (bs=8), serving 109.8 vs
+114.8. The saved HBM round-trips do not pay back: at these shapes the
+block is compute-bound (epilogue matmuls ~70% MFU, attention ~51%), and
+the two-kernel pairing lets Mosaic double-buffer each kernel's small row
+band across its many grid cells, overlapping the activation DMA it still
+has with compute. The mega-kernel's per-cell working set (full weight
+set + qkv scratch + fp32 intermediates) is several times larger, so
+fewer cells run per stack and the serialized qkv->attention->proj->MLP
+chain inside one cell exposes its own latency instead. Kept (with
+parity + grad tests) as the measured record for why the routing default
+is OFF — opt in with `STSWIN_WHOLE_BLOCK=1`.
+
 Semantics envelope: reference `SwinTransformerBlock.forward`
 (`/root/reference/seg18/net/Ours/swin_512.py:196-237`), W=MSA case.
 Differentiable via custom_vjp: backward = `jax.vjp` of the composition of
@@ -156,7 +170,7 @@ def whole_block_applicable(x_shape, dtype, dim, hidden, ws, shift,
     (qkv + proj + mlp) plus the row-band working set fits VMEM, full-frame
     output (the eval `out_frame` elision keeps the unfused pair)."""
     import os
-    if os.environ.get("STSWIN_WHOLE_BLOCK", "1") == "0":
+    if os.environ.get("STSWIN_WHOLE_BLOCK", "0") != "1":
         return False
     B, T, H, W, C = x_shape
     if shift or out_frame is not None or C != dim:

@@ -77,8 +77,13 @@ def test_pick_chunks():
     assert _pick_chunks(8, 1 << 24, 1024) == 0
 
 
-def test_applicability_envelope():
+def test_applicability_envelope(monkeypatch):
     shape = (8, 2, 64, 80, 512)
+    # default is OFF: the fusion measured 3-4% SLOWER end to end than the
+    # two-kernel pair (module docstring) — opt-in via env for A/B runs
+    assert not whole_block_applicable(shape, jnp.bfloat16, 512, 2048, 8, 0,
+                                      None)
+    monkeypatch.setenv("STSWIN_WHOLE_BLOCK", "1")
     assert whole_block_applicable(shape, jnp.bfloat16, 512, 2048, 8, 0, None)
     # SW blocks and the eval out_frame elision keep the two-kernel pair
     assert not whole_block_applicable(shape, jnp.bfloat16, 512, 2048, 8, 4,
@@ -88,14 +93,6 @@ def test_applicability_envelope():
     # stage-2 seg shape fits too
     assert whole_block_applicable((8, 2, 32, 40, 1024), jnp.bfloat16, 1024,
                                   4096, 8, 0, None)
-    # env kill-switch for A/B benchmarking
-    import os
-    os.environ["STSWIN_WHOLE_BLOCK"] = "0"
-    try:
-        assert not whole_block_applicable(shape, jnp.bfloat16, 512, 2048, 8,
-                                          0, None)
-    finally:
-        del os.environ["STSWIN_WHOLE_BLOCK"]
 
 
 def test_block_routes_whole_kernel(rng, monkeypatch):
@@ -125,6 +122,7 @@ def test_block_routes_whole_kernel(rng, monkeypatch):
 
     monkeypatch.setattr(wb, "fused_whole_swin_block", interp)
     monkeypatch.setattr(attnmod, "_is_tpu_backend", lambda: True)
+    monkeypatch.setenv("STSWIN_WHOLE_BLOCK", "1")
 
     got = block.apply(variables, x)
     assert calls, "whole-block kernel was not routed to"
