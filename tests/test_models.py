@@ -1,6 +1,7 @@
 """Shape/structure tests for the model zoo."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -87,6 +88,7 @@ def test_aspp_shape(rng):
     assert y.shape == (2, 8, 10, 32)
 
 
+@pytest.mark.slow
 def test_tswinplus_forward(rng):
     m = TswinPlus(num_classes=12)
     x = jnp.asarray(rng.standard_normal((1, 4, 128, 192, 3)).astype(np.float32))
@@ -117,6 +119,7 @@ def test_contrast_encoder_normalized(rng):
     np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_grads_match(rng):
     """Block rematerialization must not change gradients."""
     import optax
@@ -162,6 +165,7 @@ def test_final_pair_only_grads_match(rng):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_with_final_pair_only(rng):
     """remat + final_pair_only compose: `out_frame` is a static slice bound,
     so the checkpoint wrapper must not trace it (static_argnums)."""
