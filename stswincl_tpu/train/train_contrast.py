@@ -146,6 +146,7 @@ def make_contrast_train_step(
     total_steps: int,
     base_momentum: float = 0.99,
     ins_loss_weight: float = 0.0,
+    remat_queries: bool = True,
 ) -> Callable:
     """(state, clips, labels) -> (state, metrics).
 
@@ -158,11 +159,26 @@ def make_contrast_train_step(
     `2 - 2*cos(pred_q(view_a), proj_k(view_b))`, symmetrized over the two
     query views; the key-side instance projector rides the same EMA as
     every other key parameter (`:287-289`).
-    """
+
+    `remat_queries` checkpoints each query-view encoder forward
+    (gradients are bitwise identical; the backward recomputes the view's
+    activations instead of keeping both views' residuals live). Default
+    ON: besides halving peak activation memory, it is the formulation
+    that runs at the reference batch size on real hardware — a program
+    holding BOTH query views' fused-epilogue backward residuals at
+    bs=4/256x448 faults the TPU worker (device-bisected 2026-08-19:
+    1-view grad passes, 2-view grad faults in any formulation — vmapped,
+    unrolled, or with einsum attention — while the all-XLA path and the
+    remat form pass; measured cost of the recompute is 300 ms/step vs
+    the 275 ms/step the non-remat form posted in r3 before the fault
+    appeared)."""
     with_instance = ins_loss_weight > 0.0
 
+    _enc_q = (jax.checkpoint(_encode_train, static_argnums=(0,))
+              if remat_queries else _encode_train)
+
     def encode_q(params, stats, clip):
-        return _encode_train(model, params, stats, clip)
+        return _enc_q(model, params, stats, clip)
 
     def l2n(v):
         return v / jnp.maximum(

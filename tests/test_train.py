@@ -116,6 +116,30 @@ def test_contrast_train_step(rng):
     assert not np.allclose(k_leaf, q_leaf)  # EMA lags
 
 
+def test_contrast_step_remat_matches_no_remat(rng):
+    """`remat_queries` (the default — see the device-fault note in
+    make_contrast_train_step) must not change the step: same loss, same
+    updated params, bitwise."""
+    model = TinyContrast()
+    clips = jnp.asarray(
+        rng.standard_normal((2, 6, 2, 16, 16, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 5, size=(2, 6, 16, 16)).astype(np.int32))
+    variables = model.init(jax.random.key(0), clips[:, 0], train=False)
+    tx = make_lars(warmup_cosine_schedule(0.1, 10, 100))
+    outs = []
+    for remat in (True, False):
+        state = ContrastTrainState.create(variables, tx)
+        step = make_contrast_train_step(model, tx, class_num=5,
+                                        total_steps=100,
+                                        remat_queries=remat)
+        state, metrics = step(state, clips, labels)
+        outs.append((state, metrics))
+    (s1, m1), (s2, m2) = outs
+    assert float(m1["loss"]) == float(m2["loss"])
+    for a, b in zip(jax.tree.leaves(s1.params_q), jax.tree.leaves(s2.params_q)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_key_pass_parallel_matches_sequential(rng):
     """The vmapped key pass must reproduce the reference-ordered
     sequential scan exactly: identical view outputs (train-mode BN never
