@@ -31,6 +31,22 @@ def _seeded_rng(seed: int, epoch: int, index: int) -> np.random.Generator:
         np.random.SeedSequence([seed, epoch, index]))
 
 
+# ---- process-pool workers (use_processes=True) ----
+# The dataset is shipped ONCE per worker via the pool initializer (fork
+# also inherits it for free); per-task payloads are just (seed, epoch, idx).
+_WORKER_DATASET = None
+
+
+def _proc_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _proc_load(args):
+    seed, epoch, idx = args
+    return _WORKER_DATASET.get(idx, _seeded_rng(seed, epoch, idx))
+
+
 class Loader:
     def __init__(
         self,
@@ -43,7 +59,16 @@ class Loader:
         shard_index: int = 0,
         num_shards: int = 1,
         prefetch: int = 2,
+        use_processes: bool = False,
     ):
+        """`use_processes` decodes/augments in a ProcessPoolExecutor instead
+        of threads: PIL's decode releases the GIL but the numpy augmentation
+        work doesn't, so thread workers cap near ~1 core of augment
+        throughput regardless of count — processes sidestep the GIL and
+        scale with host cores (measured per-sample costs and the cores-vs-
+        device-demand analysis: tools/profile_loader.py). Sample order and
+        per-sample RNG streams are identical either way (the RNG is derived
+        from (seed, epoch, index), never from worker state)."""
         assert batch_size % num_shards == 0
         self.dataset = dataset
         self.batch_size = batch_size
@@ -55,6 +80,7 @@ class Loader:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.prefetch = prefetch
+        self.use_processes = use_processes
 
     def steps_per_epoch(self) -> int:
         n = len(self.dataset)
@@ -85,11 +111,23 @@ class Loader:
 
         def produce(out_q: queue.Queue):
             try:
-                from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for step in range(steps):
-                        samples = list(pool.map(load_one, batch_indices(step)))
-                        out_q.put(_collate(samples))
+                if self.use_processes:
+                    from concurrent.futures import ProcessPoolExecutor
+                    with ProcessPoolExecutor(
+                            self.num_workers, initializer=_proc_init,
+                            initargs=(self.dataset,)) as pool:
+                        for step in range(steps):
+                            args = [(self.seed, epoch, int(order[p]))
+                                    for p in batch_indices(step)]
+                            samples = list(pool.map(_proc_load, args))
+                            out_q.put(_collate(samples))
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        for step in range(steps):
+                            samples = list(
+                                pool.map(load_one, batch_indices(step)))
+                            out_q.put(_collate(samples))
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to consumer
                 out_q.put(e)

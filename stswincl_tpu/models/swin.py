@@ -113,6 +113,20 @@ class _MlpParams(nn.Module):
         return w1, b1, w2, b2
 
 
+class _KernelParam(nn.Module):
+    """A bias-free nn.Dense-compatible `kernel` param (same tree as
+    `nn.Dense(use_bias=False)`) for fused kernels that consume the weight
+    directly."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_dense_kernel_init,
+                          (self.in_features, self.out_features), jnp.float32)
+
+
 class _NormParams(nn.Module):
     """nn.LayerNorm-compatible (scale, bias) params for fused norm kernels."""
 
@@ -445,6 +459,19 @@ class PatchMerging(nn.Module):
         assert L == H * W and H % 2 == 0 and W % 2 == 0
 
         xi = x.reshape(B * T, H, W, C)
+
+        # TPU: one Pallas kernel for the whole op — the XLA lowering of the
+        # flax path below materializes a full-res fp32 LayerNorm output at
+        # 4C channels plus a layout copy of it (2.6 ms/batch of the bs=8
+        # clip trace vs a ~1.1 ms roofline; see ops/pallas_patch_merge.py)
+        from stswincl_tpu.ops.pallas_patch_merge import (
+            fused_patch_merge, patch_merge_applicable)
+        if patch_merge_applicable(xi):
+            scale, bias = _NormParams(4 * C, name="norm")()
+            w = _KernelParam(4 * C, 2 * C, name="reduction")()
+            out = fused_patch_merge(xi.astype(self.dtype), scale, bias, w)
+            return out.reshape(B, T, L // 4, 2 * C)
+
         x0 = xi[:, 0::2, 0::2, :]
         x1 = xi[:, 1::2, 0::2, :]
         x2 = xi[:, 0::2, 1::2, :]

@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from stswincl_tpu.ops.pallas_mlp import _gelu, mlp_ref, _pick_h_block
 from stswincl_tpu.ops.pallas_add_layernorm import _ln_math
+from stswincl_tpu.ops.vmap_guard import guard_no_vmap
 
 
 def _kernel(x_ref, y_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref,
@@ -360,7 +361,7 @@ def fused_epilogue_bwd(x, y, s2, b2, w1, b1, w2, bw2, s1, g,
 
     row = pl.BlockSpec((tk, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const = lambda i: (0, 0)
-    outs = pl.pallas_call(
+    call = pl.pallas_call(
         functools.partial(_epi_bwd_kernel, eps=eps, gelu_exact=gelu_exact),
         grid=(R // tk,),
         in_specs=[
@@ -402,11 +403,14 @@ def fused_epilogue_bwd(x, y, s2, b2, w1, b1, w2, bw2, s1, g,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x2d, y2d, g2d,
-      jnp.stack([s2, b2]).astype(jnp.float32),
-      w1.astype(x.dtype), b1[None].astype(jnp.float32),
-      w2.astype(x.dtype), bw2[None].astype(jnp.float32),
-      s1[None].astype(jnp.float32))
+    )
+    # sequential-grid accumulators: vmap must raise, not fault the device
+    outs = guard_no_vmap(call, "fused_epilogue_bwd")(
+        x2d, y2d, g2d,
+        jnp.stack([s2, b2]).astype(jnp.float32),
+        w1.astype(x.dtype), b1[None].astype(jnp.float32),
+        w2.astype(x.dtype), bw2[None].astype(jnp.float32),
+        s1[None].astype(jnp.float32))
     (ds, dw1, db1, dw2, dbw2, ds1, db1n, ds2, db2) = outs
     return (ds.reshape(*lead, C), ds2[0], db2[0], dw1, db1[0], dw2,
             dbw2[0], ds1[0], db1n[0])
@@ -607,7 +611,7 @@ def fused_epilogue_bwd_streamed(x, y, s2, b2, w1, b1, w2, bw2, s1, g, m,
         w1_s = jax.lax.slice_in_dim(w1, sl * hb, (sl + 1) * hb, axis=1)
         b1_s = jax.lax.slice_in_dim(b1, sl * hb, (sl + 1) * hb, axis=0)
         w2_s = jax.lax.slice_in_dim(w2, sl * hb, (sl + 1) * hb, axis=0)
-        outs = pl.pallas_call(
+        slice_call = pl.pallas_call(
             functools.partial(_epi_bwd_slice_kernel, eps=eps,
                               gelu_exact=gelu_exact),
             grid=(R // tk,),
@@ -640,16 +644,18 @@ def fused_epilogue_bwd_streamed(x, y, s2, b2, w1, b1, w2, bw2, s1, g, m,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(x2d, y2d, g2d, m2d, s2b2, s1r,
-          w1_s.astype(x.dtype), b1_s[None].astype(jnp.float32),
-          w2_s.astype(x.dtype))
+        )
+        outs = guard_no_vmap(slice_call, "fused_epilogue_bwd_streamed")(
+            x2d, y2d, g2d, m2d, s2b2, s1r,
+            w1_s.astype(x.dtype), b1_s[None].astype(jnp.float32),
+            w2_s.astype(x.dtype))
         dn2_p, dw1_p, db1_p, dw2_p = outs
         dn2 = dn2_p if dn2 is None else dn2 + dn2_p
         dw1_parts.append(dw1_p)
         db1_parts.append(db1_p[0])
         dw2_parts.append(dw2_p)
 
-    outs = pl.pallas_call(
+    combine_call = pl.pallas_call(
         functools.partial(_epi_bwd_combine_kernel, eps=eps,
                           gelu_exact=gelu_exact),
         grid=(R // tk,),
@@ -679,7 +685,9 @@ def fused_epilogue_bwd_streamed(x, y, s2, b2, w1, b1, w2, bw2, s1, g, m,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x2d, y2d, g2d, m2d, s2b2, s1r, dn2)
+    )
+    outs = guard_no_vmap(combine_call, "fused_epilogue_bwd_streamed")(
+        x2d, y2d, g2d, m2d, s2b2, s1r, dn2)
     ds, ds1, db1n, ds2, db2, dbw2 = outs
 
     dw1 = jnp.concatenate(dw1_parts, axis=1)

@@ -541,7 +541,7 @@ def fused_swin_block_attention_bwd(x, wqkv, bqkv, wproj, bias_tiled,
     band = pl.BlockSpec((1, T, ws, W, C), lambda b, i: (b, 0, i, 0, 0),
                         memory_space=pltpu.VMEM)
     rows = T * ws * W
-    outs = pl.pallas_call(
+    call = pl.pallas_call(
         functools.partial(_full_bwd_kernel, heads=heads, scale=scale, ws=ws,
                           single_mask=single_mask, qkv_chunks=1),
         grid=(B, nH),
@@ -585,8 +585,12 @@ def fused_swin_block_attention_bwd(x, wqkv, bqkv, wproj, bias_tiled,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, g, wqkv.astype(x.dtype), bqkv[None].astype(jnp.float32),
-      wproj.astype(x.dtype), bias_tiled, mask_tiled)
+    )
+    # sequential-grid accumulators: vmap must raise, not fault the device
+    from stswincl_tpu.ops.vmap_guard import guard_no_vmap
+    outs = guard_no_vmap(call, "fused_swin_block_attention_bwd")(
+        x, g, wqkv.astype(x.dtype), bqkv[None].astype(jnp.float32),
+        wproj.astype(x.dtype), bias_tiled, mask_tiled)
     dx, dwqkv, dbqkv, dwproj, dbproj, dbias = outs
     return dx, dwqkv, dbqkv[0], dwproj, dbproj[0], dbias
 

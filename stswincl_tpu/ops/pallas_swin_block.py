@@ -182,6 +182,10 @@ def whole_block_applicable(x_shape, dtype, dim, hidden, ws, shift,
     rows = T * ws * W
     if _pick_chunks(rows, hidden, 12 * 1024 * 1024) == 0:
         return False
+    # the kernel also asserts a valid qkv chunking at its tighter budget —
+    # the gate must imply every kernel precondition (advisor r4)
+    if _pick_chunks(rows, 3 * C, 4 * 1024 * 1024) == 0:
+        return False
     if rows % 8:
         return False
     # band tiles (x/out, double-buffered) + qkv scratch + fp32 live values

@@ -1,0 +1,69 @@
+"""Space-to-depth formulation of the 7x7/s2 RGB stem convolution.
+
+XLA's TPU conv lowering runs the torchvision stem (7x7 stride 2 on 3
+channels) at ~12% MFU — the 3-channel contraction wastes nearly the whole
+lane dimension of every MXU pass (measured 2.1 ms/batch of the bs=8 clip
+trace vs a 0.25 ms roofline, plus a 0.5 ms input layout copy it induces).
+
+Standard fix (MLPerf ResNet): re-index the stride-2 conv on a 2x2
+space-to-depth view of the input. With z[n, p, q, (a, b, c)] =
+x[n, 2p + a, 2q + b, c], the 7x7/s2/pad3 conv over 3 channels is EXACTLY a
+4x4/s1 conv over 12 channels with asymmetric padding (2, 1):
+
+  out[i, j] = sum_{dy, dx, c} x[2i + dy - 3, 2j + dx - 3, c] * w[dy, dx, c]
+            = sum_{dp, dq, a, b, c} z[i + dp, j + dq, (a, b, c)]
+                                    * w[2 dp + a + 3, 2 dq + b + 3, c]
+
+with dp, dq in [-2, 1] and the single out-of-range tap (dy = -1 at
+dp = -2, a = 0) given a zero weight. The contraction K grows 147 -> 192
+arranged in MXU-friendly 12-channel groups. The scatter of the original
+(7, 7, 3, C) kernel into the (4, 4, 12, C) layout is a tiny reshape done
+per forward, so the PARAMETER stays torch-shaped (checkpoint/torch-import
+compatible). Ref stem: torchvision resnet18 via
+`seg18/net/Ours/resnet.py:93-107`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def s2d_stem_kernel(w):
+    """(7, 7, Cin, Cout) stride-2 kernel -> its (4, 4, 4*Cin, Cout)
+    space-to-depth equivalent (zero-padded out-of-range taps)."""
+    kh, kw, cin, cout = w.shape
+    assert kh == 7 and kw == 7
+    # index (2dp' + a, 2dq' + b) of the FRONT-padded 8x8 kernel, where
+    # dy = 2(dp' - 2) + a + 3 = 2dp' + a - 1  ->  padded index dy + 1
+    w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w8 = w8.reshape(4, 2, 4, 2, cin, cout)          # (dp', a, dq', b, c, o)
+    w8 = w8.transpose(0, 2, 1, 3, 4, 5)             # (dp', dq', a, b, c, o)
+    return w8.reshape(4, 4, 4 * cin, cout)
+
+
+def space_to_depth(x):
+    """(N, H, W, C) -> (N, H/2, W/2, 4C), channel order (a, b, c)."""
+    N, H, W, C = x.shape
+    z = x.reshape(N, H // 2, 2, W // 2, 2, C)
+    z = z.transpose(0, 1, 3, 2, 4, 5)
+    return z.reshape(N, H // 2, W // 2, 4 * C)
+
+
+def stem_s2d_conv(x, w, dtype):
+    """The full stem conv via space-to-depth. x: (N, H, W, Cin) with even
+    H, W; w: the torch-shaped (7, 7, Cin, Cout) stride-2 kernel.
+    Bit-compatible with the direct conv up to fp32 accumulation order
+    (the extra taps are exact zeros)."""
+    z = space_to_depth(x.astype(dtype))
+    wz = s2d_stem_kernel(w).astype(dtype)
+    return jax.lax.conv_general_dilated(
+        z, wz, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(dtype)
+
+
+def stem_s2d_applicable(x, kernel: int, stride: int) -> bool:
+    from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+    return (kernel == 7 and stride == 2 and _is_tpu_backend()
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)

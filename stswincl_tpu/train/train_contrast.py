@@ -147,6 +147,7 @@ def make_contrast_train_step(
     base_momentum: float = 0.99,
     ins_loss_weight: float = 0.0,
     remat_queries: bool = True,
+    query_mode: Optional[str] = None,
 ) -> Callable:
     """(state, clips, labels) -> (state, metrics).
 
@@ -171,11 +172,36 @@ def make_contrast_train_step(
     unrolled, or with einsum attention — while the all-XLA path and the
     remat form pass; measured cost of the recompute is 300 ms/step vs
     the 275 ms/step the non-remat form posted in r3 before the fault
-    appeared)."""
+    appeared).
+
+    `query_mode` (overrides `remat_queries` when given) selects the
+    query-grad formulation:
+
+      * ``"scan"`` (default on TPU) — the two query-view value_and_grads
+        run as a `lax.scan` accumulating the param-grad sum: by loop
+        semantics only ONE view's backward residual set is ever live,
+        dodging the dual-residual device fault WITHOUT the remat recompute
+        (grads equal the joint backward by linearity; equality-tested in
+        tests/test_train.py). Device-verified at the reference config
+        2026-08-19: 263 ms/step (15.2 samples/s) vs remat's 300 and the
+        275 the faulting co-resident form posted in r3 — faster than both,
+        no fault.
+      * ``"remat"`` (default off-TPU) — `jax.checkpoint` each query
+        forward; bitwise-identical grads, ~9% recompute cost.
+      * ``"unrolled"`` — both views' residuals co-resident. Faults the
+        TPU worker at the reference config
+        (tools/repro_dual_grad_fault.py); kept as the bisect record."""
     with_instance = ins_loss_weight > 0.0
+    if query_mode is None:
+        from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+        if remat_queries and _is_tpu_backend():
+            query_mode = "scan"
+        else:
+            query_mode = "remat" if remat_queries else "unrolled"
+    assert query_mode in ("remat", "unrolled", "scan"), query_mode
 
     _enc_q = (jax.checkpoint(_encode_train, static_argnums=(0,))
-              if remat_queries else _encode_train)
+              if query_mode == "remat" else _encode_train)
 
     def encode_q(params, stats, clip):
         return _enc_q(model, params, stats, clip)
@@ -243,6 +269,72 @@ def make_contrast_train_step(
             loss = loss + ins_loss_weight * ins_loss
         return loss, (stats_q2, new_stats_k, ins_loss)
 
+    # view v's key set: every view except v among the first two, all of
+    # 2..5 always (reference symmetrization, PixPro_swin_v5.py:558-571)
+    _KIDX = ((1, 2, 3, 4, 5), (0, 2, 3, 4, 5))
+
+    def scan_value_and_grad(params_q, stats_q, params_k, stats_k, clips,
+                            labels):
+        """Same loss/grads/aux as `jax.value_and_grad(loss_fn)`, but the two
+        query-view backwards run SEQUENTIALLY inside a lax.scan that
+        accumulates the param-grad sum — loop semantics guarantee only one
+        view's fused-kernel backward residual set is live at a time (the
+        co-residency of two is the bisected TPU-worker-fault trigger), with
+        none of remat's recompute. Equal by linearity: grad(l1 + l2) =
+        grad(l1) + grad(l2); the view losses are separable."""
+        keys, new_stats_k = key_pass(params_k, stats_k, clips)
+        keys = jax.lax.stop_gradient(keys)
+        kproj = None
+        if with_instance:
+            keys, kproj, _ = keys
+        _, B, h, w, C = keys.shape
+        lab = downsample_labels(labels, h, w)          # (B, 6, hw)
+        lab_v = jnp.swapaxes(lab, 0, 1)                # (6, B, hw)
+        keys_flat = keys.reshape(6, B, h * w, C)
+
+        kidx = jnp.asarray(_KIDX)                      # (2, 5)
+        kf = keys_flat[kidx]                           # (2, 5, B, hw, C)
+        kl = lab_v[kidx]                               # (2, 5, B, hw)
+        clips_q = jnp.swapaxes(clips[:, :2], 0, 1)     # (2, B, T, H, W, 3)
+        kp = (jnp.stack([kproj[1], kproj[0]]) if with_instance
+              else jnp.zeros((2, 1)))
+
+        zeros = jax.tree.map(jnp.zeros_like, stats_q)
+
+        def view_loss(params, clip_v, qlab_v, kf_v, kl_v, kp_v):
+            out, upd = _encode_train(model, params, zeros, clip_v)
+            ins_v = jnp.float32(0.0)
+            if with_instance:
+                q, _, ipred = out
+                cos = jnp.sum(l2n(ipred) * l2n(kp_v), axis=-1)
+                ins_v = 2.0 - 2.0 * jnp.mean(cos)
+            else:
+                q = out
+            k_sets = [(kf_v[i], kl_v[i]) for i in range(5)]
+            lv = class_sum_contrastive_loss(to_flat(q), qlab_v, k_sets,
+                                            class_num)
+            total = lv + ins_loss_weight * ins_v if with_instance else lv
+            return total, (upd, ins_v)
+
+        def body(carry, xs):
+            gsum, lsum, isum = carry
+            clip_v, qlab_v, kf_v, kl_v, kp_v = xs
+            (lv, (upd, ins_v)), gv = jax.value_and_grad(
+                view_loss, has_aux=True)(params_q, clip_v, qlab_v, kf_v,
+                                         kl_v, kp_v)
+            return (jax.tree.map(jnp.add, gsum, gv), lsum + lv,
+                    isum + ins_v), upd
+
+        gzero = jax.tree.map(jnp.zeros_like, params_q)
+        (grads, loss, ins_loss), upd0_q = jax.lax.scan(
+            body, (gzero, jnp.float32(0.0), jnp.float32(0.0)),
+            (clips_q, lab_v[:2], kf, kl, kp))
+        stats_q2, _ = jax.lax.scan(
+            lambda s, u: (jax.tree.map(
+                lambda sv, uv: BN_MOMENTUM * sv + uv, s, u), None),
+            stats_q, upd0_q)
+        return (loss, (stats_q2, new_stats_k, ins_loss)), grads
+
     @jax.jit
     def train_step(state: ContrastTrainState, clips, labels):
         # EMA momentum update of the key branch BEFORE the key forward
@@ -251,10 +343,11 @@ def make_contrast_train_step(
         params_k = jax.tree.map(lambda k, q: k * m + q * (1.0 - m),
                                 state.params_k, state.params_q)
 
-        (loss, (new_stats_q, new_stats_k, ins_loss)), grads = \
-            jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params_q, state.stats_q,
-                params_k, state.stats_k, clips, labels)
+        vag = (scan_value_and_grad if query_mode == "scan"
+               else jax.value_and_grad(loss_fn, has_aux=True))
+        (loss, (new_stats_q, new_stats_k, ins_loss)), grads = vag(
+            state.params_q, state.stats_q,
+            params_k, state.stats_k, clips, labels)
         updates, new_opt = tx.update(grads, state.opt_state, state.params_q)
         new_params_q = optax.apply_updates(state.params_q, updates)
         new_state = state.replace(

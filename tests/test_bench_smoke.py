@@ -33,19 +33,25 @@ def test_bench_impl_smoke_emits_both_metrics():
     env["JAX_COMPILATION_CACHE_DIR"] = _cpu_cache_dir()
     proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "bench.py"), "--impl"],
-        env=env, cwd=_REPO, timeout=1800,
+        env=env, cwd=_REPO, timeout=2700,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [json.loads(l) for l in proc.stdout.strip().splitlines()]
     metrics = {l["metric"]: l for l in lines}
     assert set(metrics) == {
         "endovis18_infer_fps_512x640_per_chip",
+        "endovis18_train_ms_per_step",
+        "pretrain_contrast_ms_per_step",
         "endovis18_video_serving_fps_512x640_per_chip",
     }
     for line in metrics.values():
         assert line["smoke"] is True          # never mistakable for a bench
         assert line["value"] > 0
-        assert line["band_rows"] in (1, 2)    # the A/B ran and chose
-        assert line["unit"] == "frames/sec/chip"
+    for key in ("endovis18_infer_fps_512x640_per_chip",
+                "endovis18_video_serving_fps_512x640_per_chip"):
+        assert metrics[key]["band_rows"] in (1, 2)  # the A/B ran and chose
+        assert metrics[key]["unit"] == "frames/sec/chip"
+    for key in ("endovis18_train_ms_per_step", "pretrain_contrast_ms_per_step"):
+        assert metrics[key]["unit"] == "ms/step"
     # headline (video serving) printed LAST — the driver keys on this
     assert lines[-1]["metric"] == "endovis18_video_serving_fps_512x640_per_chip"

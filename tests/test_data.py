@@ -188,6 +188,20 @@ def test_loader_batching_and_sharding():
         np.concatenate([b0[0]["image"], b1[0]["image"]]), b_full[0]["image"])
 
 
+def test_loader_process_pool_matches_threads():
+    """use_processes must be a pure execution-strategy switch: identical
+    batches in identical order (per-sample RNG is derived from
+    (seed, epoch, index), never worker state)."""
+    ds = SyntheticSegDataset(length=8, t=2, hw=(32, 32), num_classes=5)
+    bt = list(Loader(ds, batch_size=4, seed=1, num_workers=2).epoch(2))
+    bp = list(Loader(ds, batch_size=4, seed=1, num_workers=2,
+                     use_processes=True).epoch(2))
+    assert len(bt) == len(bp)
+    for a, b in zip(bt, bp):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_sliding_from_predicates(endovis_tree, cadis_tree):
     """Streaming-eval cache validity: `sliding_from` must be True exactly
     when the clip is the previous clip advanced one slot with both clips

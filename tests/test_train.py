@@ -140,6 +140,40 @@ def test_contrast_step_remat_matches_no_remat(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_contrast_step_scan_matches_unrolled(rng):
+    """query_mode='scan' (the TPU default: sequential accumulated per-view
+    grads, one backward residual set live at a time) must reproduce the
+    joint two-view backward: identical loss, grads equal by linearity
+    (grad(l1+l2) = grad(l1) + grad(l2); only fp32 summation order can
+    differ)."""
+    model = TinyContrast()
+    clips = jnp.asarray(
+        rng.standard_normal((2, 6, 2, 16, 16, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 5, size=(2, 6, 16, 16)).astype(np.int32))
+    variables = model.init(jax.random.key(0), clips[:, 0], train=False)
+    tx = make_lars(warmup_cosine_schedule(0.1, 10, 100))
+    outs = []
+    for mode in ("scan", "unrolled"):
+        state = ContrastTrainState.create(variables, tx)
+        step = make_contrast_train_step(model, tx, class_num=5,
+                                        total_steps=100, query_mode=mode)
+        state, metrics = step(state, clips, labels)
+        outs.append((state, metrics))
+    (s1, m1), (s2, m2) = outs
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params_q),
+                    jax.tree.leaves(s2.params_q)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    # the BN stats EMA chain is order-identical (same fold)
+    for a, b in zip(jax.tree.leaves(s1.stats_q), jax.tree.leaves(s2.stats_q)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_key_pass_parallel_matches_sequential(rng):
     """The vmapped key pass must reproduce the reference-ordered
     sequential scan exactly: identical view outputs (train-mode BN never

@@ -93,8 +93,12 @@ def stage(tag, B, T, H, W, C, heads, ws, shift):
 
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
-    # bs=8 serving shapes: stage-1 pair groups run as folded batch 2*B=16
-    stage("stage1 W-MSA ", 16, 2, 64, 80, 512, 16, 8, 0)
-    stage("stage1 SW-MSA", 16, 2, 64, 80, 512, 16, 8, 4)
-    stage("stage2 W-MSA ", 16, 2, 32, 40, 1024, 32, 4, 0)
-    stage("stage2 SW-MSA", 16, 2, 32, 40, 1024, 32, 4, 2)
+    # the model runs num_heads=4 at BOTH stages (TswinPlus default — the
+    # r4 version of this tool measured 16/32-head shapes the model never
+    # runs). Folded batch: clip path bs=8 -> two-group stage-1 cells see
+    # B=16; serving bs=16 -> B=32; single-group cells half that.
+    for B in (16, 32):
+        stage(f"B={B:<2} stage1 W-MSA ", B, 2, 64, 80, 512, 4, 8, 0)
+        stage(f"B={B:<2} stage1 SW-MSA", B, 2, 64, 80, 512, 4, 8, 4)
+        stage(f"B={B:<2} stage2 W-MSA ", B, 2, 32, 40, 1024, 4, 4, 0)
+        stage(f"B={B:<2} stage2 SW-MSA", B, 2, 32, 40, 1024, 4, 4, 2)

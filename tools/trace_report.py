@@ -84,14 +84,43 @@ def parse_line(buf):
         elif fnum == 11:
             name = val.decode() or name
         elif fnum == 4:
-            mid = dur = 0
+            mid = off = dur = 0
             for f2, _, v2 in fields(val):
                 if f2 == 1:
                     mid = v2
+                elif f2 == 2:
+                    off = v2
                 elif f2 == 3:
                     dur = v2
-            events.append((mid, dur))
+            events.append((mid, off, dur))
     return name, events
+
+
+# async-start spans cover their whole issue->completion window, which
+# OVERLAPS the compute running underneath — summing them double-counts
+# massively (a bs=8 forward trace read 7.2 s of "device time" for 0.76 s
+# of wall). The per-op table drops them; the *-done ops (the actual stall,
+# if any) and the compute ops remain.
+_ASYNC_START = re.compile(r"(slice-start|copy-start|async-start|"
+                          r"all-reduce-start|collective-permute-start|"
+                          r"send|recv)")
+
+
+def _union_ms(spans):
+    """Total covered time of possibly-overlapping (start, end) spans."""
+    if not spans:
+        return 0.0
+    spans.sort()
+    total = 0
+    cs, ce = spans[0]
+    for s, e in spans[1:]:
+        if s > ce:
+            total += ce - cs
+            cs, ce = s, e
+        else:
+            ce = max(ce, e)
+    total += ce - cs
+    return total / 1e9
 
 
 def report(trace_dir, top_n=40, merge=False):
@@ -108,20 +137,33 @@ def report(trace_dir, top_n=40, merge=False):
             continue
         totals = defaultdict(float)
         counts = defaultdict(int)
+        spans = []
+        async_spans = []
         for lbuf in lines:
             lname, events = parse_line(lbuf)
             if "XLA Ops" not in lname:
                 continue
-            for mid, dur in events:
+            for mid, off, dur in events:
                 name = ev_meta.get(mid, f"?{mid}")
+                if _ASYNC_START.search(name):
+                    async_spans.append((off, off + dur))
+                    continue
+                spans.append((off, off + dur))
                 if merge:
                     name = re.sub(r"\.\d+$", "", name)
                 totals[name] += dur / 1e9  # ps -> ms
                 counts[name] += 1
         if totals:
-            out.append((pname, totals, counts))
-    for pname, totals, counts in out:
-        print(f"== plane: {pname} (total {sum(totals.values()):.2f} ms)")
+            out.append((pname, totals, counts, spans, async_spans))
+    for pname, totals, counts, spans, async_spans in out:
+        wall = (max(e for _, e in spans + async_spans)
+                - min(s for s, _ in spans + async_spans)) / 1e9
+        busy = _union_ms(spans)
+        print(f"== plane: {pname}")
+        print(f"   wall {wall:.2f} ms | sync-op busy {busy:.2f} ms "
+              f"({100 * busy / wall:.1f}%) | sync-op sum "
+              f"{sum(totals.values()):.2f} ms | async-start spans excluded: "
+              f"{len(async_spans)} covering {_union_ms(async_spans):.2f} ms")
         for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:top_n]:
             print(f"{ms:9.3f} ms  x{counts[name]:<4d} {name[:120]}")
 
