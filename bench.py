@@ -216,8 +216,19 @@ def _bench_impl():
     (OH, OW) = (256, 384) if smoke else (1024, 1280)
     n_chain = 2 if smoke else N_CHAIN
     batch_probe = (2,) if smoke else (8, 16)
+    # serving throughput keeps scaling past the clip path's saturation
+    # point (it runs 1 backbone pass/frame instead of 4) — probe one size
+    # further; every per-bs probe is exception-shielded so an OOM or a
+    # compile-budget miss cannot cost the smaller batches' results
+    stream_probe = (2,) if smoke else (8, 16, 32)
 
-    model = TswinPlus(num_classes=12, dtype=jnp.bfloat16)
+    # smoke runs the FULL measurement plumbing but on compile-light model
+    # configs (swin_dim=64 / depths=(2,2), same knobs as the dryrun gate):
+    # full-depth CPU compiles of the train probes measured >45 min on a
+    # 1-vCPU host — a smoke test must stay minutes-cheap, and its numbers
+    # are marked smoke:true precisely because they are not benchmarks
+    light = dict(swin_dim=64, swin_depths=(2, 2)) if smoke else {}
+    model = TswinPlus(num_classes=12, dtype=jnp.bfloat16, **light)
     # init at small spatial size: same param tree, far cheaper compile
     x_small = jnp.zeros((1, 4, 64, 128, 3), jnp.float32)
     variables = model.init(jax.random.key(0), x_small, train=False)
@@ -314,7 +325,7 @@ def _bench_impl():
         from stswincl_tpu.pipelines.streaming import StreamingSegmenter
 
         seg = StreamingSegmenter(model, variables, out_hw=(OH, OW))
-        for bs in batch_probe:
+        for bs in stream_probe:
             # everything per-bs sits inside the try: a bs=16 OOM during
             # cache warmup must not discard an already-measured bs=8 result
             try:
@@ -438,7 +449,8 @@ def _bench_impl():
 
             cb = 2 if smoke else 4
             ch, cw = (64, 128) if smoke else (256, 448)
-            cmodel = ContrastEncoder(num_classes=12, dtype=jnp.bfloat16)
+            cmodel = ContrastEncoder(num_classes=12, dtype=jnp.bfloat16,
+                                     **light)
             cclips = jnp.asarray(
                 rng.random((cb, 6, 4, ch, cw, 3), dtype=np.float32))
             clabs = jnp.asarray(

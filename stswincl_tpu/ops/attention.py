@@ -53,11 +53,14 @@ def space_time_window_attention(
     N = rel_bias.shape[-1]
     T = TN // N
 
+    # scale applied to the fp32 score accumulator AFTER the matmul (not to
+    # the bf16 q tensor): strictly more accurate, one fewer VPU pass over
+    # (TN, hd) in the Pallas kernels that share this exact formulation
     attn = jnp.einsum(
-        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     )
     bias = jnp.tile(rel_bias.astype(jnp.float32), (1, T, T))  # (heads, TN, TN)
-    attn = attn + bias[None]
+    attn = attn * jnp.float32(scale) + bias[None]
 
     if mask is not None:
         nW = mask.shape[0]
@@ -65,8 +68,13 @@ def space_time_window_attention(
         attn = attn.reshape(Bw // nW, nW, heads, TN, TN) + m[None, :, None]
         attn = attn.reshape(Bw, heads, TN, TN)
 
-    attn = jax.nn.softmax(attn, axis=-1)
+    # explicit reciprocal-multiply softmax — the shared rounding contract
+    # with the Pallas kernels (a VPU divide per score element is the single
+    # most expensive op in their softmax chain; 1/sum is one divide per ROW)
+    mx = jnp.max(attn, axis=-1, keepdims=True)
+    e = jnp.exp(attn - mx)
+    p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
     out = jnp.einsum(
-        "bhqk,bhkd->bhqd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     return out.astype(v.dtype)

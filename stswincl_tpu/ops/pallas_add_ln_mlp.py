@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from stswincl_tpu.ops.pallas_mlp import _gelu, mlp_ref, _pick_h_block
+from stswincl_tpu.ops.pallas_mlp import (_gelu, _gelu_and_grad, mlp_ref,
+                                         _pick_h_block)
 from stswincl_tpu.ops.pallas_add_layernorm import _ln_math
 from stswincl_tpu.ops.vmap_guard import guard_no_vmap
 
@@ -177,27 +178,6 @@ def _ln_bwd_f32(g, xhat, rsig, scale):
     return (gs - m1 - xhat * m2) * rsig
 
 
-def _gelu_grad(pre, exact):
-    """d gelu(pre) / d pre in fp32 (A&S erf polynomial, matching `_gelu`)."""
-    if exact:
-        x = pre / jnp.sqrt(2.0).astype(jnp.float32)
-        ax = jnp.abs(x)
-        t = 1.0 / (1.0 + 0.3275911 * ax)
-        poly = t * (0.254829592 + t * (-0.284496736 + t * (
-            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-        erf = jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
-        phi = 0.5 * (1.0 + erf)
-        pdf = jnp.exp(-0.5 * pre * pre) / jnp.sqrt(2.0 * jnp.pi).astype(
-            jnp.float32)
-        return phi + pre * pdf
-    c = jnp.sqrt(2.0 / jnp.pi).astype(jnp.float32)
-    inner = c * (pre + 0.044715 * pre ** 3)
-    th = jnp.tanh(inner)
-    sech2 = 1.0 - th * th
-    return 0.5 * (1.0 + th) + 0.5 * pre * sech2 * c * (
-        1.0 + 3 * 0.044715 * pre * pre)
-
-
 def _epi_bwd_kernel(x_ref, y_ref, g_ref, s2_ref, w1_ref, b1_ref, w2_ref,
                     bw2_ref, s1_ref, ds_ref, dw1_ref, db1_ref, dw2_ref,
                     dbw2_ref, ds1_ref, db1n_ref, ds2_ref, db2_ref,
@@ -230,7 +210,8 @@ def _epi_bwd_kernel(x_ref, y_ref, g_ref, s2_ref, w1_ref, b1_ref, w2_ref,
     n2 = n2_32.astype(x_ref.dtype)
     pre = jnp.dot(n2, w1_ref[:], preferred_element_type=jnp.float32)
     pre = pre + b1_ref[0].astype(jnp.float32)
-    h = _gelu(pre, gelu_exact).astype(x_ref.dtype)
+    h32, dgelu = _gelu_and_grad(pre, gelu_exact)  # one shared erf pass
+    h = h32.astype(x_ref.dtype)
     m = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     m = (m + bw2_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
     o32 = s32 + m.astype(jnp.float32)
@@ -249,7 +230,7 @@ def _epi_bwd_kernel(x_ref, y_ref, g_ref, s2_ref, w1_ref, b1_ref, w2_ref,
     dh = jax.lax.dot_general(                       # dm @ w2^T
         dm, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dpre32 = dh * _gelu_grad(pre, gelu_exact)
+    dpre32 = dh * dgelu
     dpre = dpre32.astype(x_ref.dtype)
     dn2 = jax.lax.dot_general(                      # dpre @ w1^T
         dpre, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
@@ -480,11 +461,12 @@ def _epi_bwd_slice_kernel(x_ref, y_ref, g_ref, m_ref, s2_ref, s1_ref,
 
     pre = jnp.dot(n2, w1_ref[:], preferred_element_type=jnp.float32)
     pre = pre + b1_ref[0].astype(jnp.float32)
-    h = _gelu(pre, gelu_exact).astype(x_ref.dtype)
+    h32, dgelu = _gelu_and_grad(pre, gelu_exact)  # one shared erf pass
+    h = h32.astype(x_ref.dtype)
     dh = jax.lax.dot_general(                       # dm @ w2_s^T
         dm, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dpre32 = dh * _gelu_grad(pre, gelu_exact)
+    dpre32 = dh * dgelu
     dpre = dpre32.astype(x_ref.dtype)
     dn2_ref[:] = jax.lax.dot_general(               # dpre @ w1_s^T
         dpre, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),

@@ -46,18 +46,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
     bias = bias_ref[0].astype(jnp.float32)
     for w in range(wpc):
         # native-dtype MXU inputs with fp32 accumulation — the einsum
-        # path's semantics (ops/attention.py:57) and the fast MXU path
-        q = q_ref[w, 0] * scale
+        # path's semantics (ops/attention.py) and the fast MXU path;
+        # post-matmul fp32 scale + reciprocal-multiply softmax match the
+        # other attention implementations' rounding
+        q = q_ref[w, 0]
         k = k_ref[w, 0]
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (TN, TN)
-        scores = scores + bias + mask_ref[w].astype(jnp.float32)
+        scores = scores * jnp.float32(scale) + bias
+        scores = scores + mask_ref[w].astype(jnp.float32)
         # numerically-stable softmax in fp32, fully in registers/VMEM
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
         out = jnp.dot(p.astype(v_ref.dtype), v_ref[w, 0],
                       preferred_element_type=jnp.float32)
         out_ref[w, 0] = out.astype(out_ref.dtype)

@@ -60,23 +60,29 @@ def _row_kernel(qkv_ref, bias_ref, mask_ref, out_ref, *, heads, scale, ws,
     row = qkv_ref[0]  # (T, ws, W, 3C)
     for j in range(nW):
         win = row[:, :, j * ws:(j + 1) * ws, :].reshape(TN, C3)
-        mask = mask_ref[0 if single_mask else j].astype(jnp.float32)
         outs = []
         for h in range(heads):
             # q/k stay in the input dtype: bf16 MXU inputs with fp32
             # accumulation — the einsum model path's exact semantics
-            # (ops/attention.py:57) and the fast MXU path (an fp32 dot
-            # runs multi-pass on the MXU)
-            q = win[:, h * hd:(h + 1) * hd] * scale
+            # (ops/attention.py) and the fast MXU path (an fp32 dot
+            # runs multi-pass on the MXU). Scale lands on the fp32 score
+            # accumulator (not the bf16 q), the single-entry mask is the
+            # W-MSA zero mask by contract so its add is skipped, and the
+            # softmax divide is one reciprocal per ROW — together the
+            # measured VPU-bound tail of this kernel.
+            q = win[:, h * hd:(h + 1) * hd]
             k = win[:, C + h * hd:C + (h + 1) * hd]
             v = win[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
             scores = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            scores = scores + bias_ref[h].astype(jnp.float32) + mask
+            scores = scores * jnp.float32(scale) + bias_ref[h].astype(
+                jnp.float32)
+            if not single_mask:
+                scores = scores + mask_ref[j].astype(jnp.float32)
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             o = jnp.dot(p.astype(v.dtype), v,
                         preferred_element_type=jnp.float32)
             outs.append(o.astype(out_ref.dtype))
@@ -98,17 +104,19 @@ def windowed_attention_image_ref(qkv, bias_tiled, mask_tiled, heads, scale,
     q = xw[..., :C].reshape(-1, TN, heads, hd).transpose(0, 2, 1, 3)
     k = xw[..., C:2 * C].reshape(-1, TN, heads, hd).transpose(0, 2, 1, 3)
     v = xw[..., 2 * C:].reshape(-1, TN, heads, hd).transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+    # identical formulation (and rounding) to the kernels: fp32 post-matmul
+    # scale, zero-mask add skipped, reciprocal-multiply softmax
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
-    scores = scores + bias_tiled[None].astype(jnp.float32)
+    scores = scores * jnp.float32(scale) + bias_tiled[None].astype(jnp.float32)
     n_mask = mask_tiled.shape[0]
-    if n_mask == 1:
-        scores = scores + mask_tiled[0][None, None].astype(jnp.float32)
-    else:
+    if n_mask > 1:
         m = mask_tiled.astype(jnp.float32)
         scores = (scores.reshape(B, n_mask, heads, TN, TN)
                   + m[None, :, None]).reshape(-1, heads, TN, TN)
-    p = jax.nn.softmax(scores, axis=-1)
+    mx = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - mx)
+    p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
     o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32).astype(qkv.dtype)
     o = o.transpose(0, 2, 1, 3).reshape(B, nH, nW, T, ws, ws, C)
@@ -126,7 +134,10 @@ def windowed_attention_image(qkv, bias_tiled, mask_tiled, heads, scale, ws,
         axis ordered [q | k | v], each C channels, heads-major within
         (matching the reference qkv reshape semantics).
       bias_tiled: (heads, TN, TN) relative-position bias (T x T tiled).
-      mask_tiled: (nWindows, TN, TN) SW-MSA mask or (1, TN, TN) zeros.
+      mask_tiled: (nWindows, TN, TN) SW-MSA mask, or (1, TN, TN) ZEROS —
+        a single-entry mask is the W-MSA no-mask marker and its (zero)
+        add is skipped inside the kernels; passing a nonzero single-entry
+        mask is out of contract.
       ws: window size.
 
     Returns: (B, T, H, W, C) attention output in image layout.
@@ -226,24 +237,30 @@ def _full_kernel(x_ref, xnext_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         for j in range(nW):
             win = qkv[:, wr * ws:(wr + 1) * ws,
                       j * ws:(j + 1) * ws, :].reshape(TN, 3 * C)
-            mask = mask_ref[0 if single_mask
-                            else wr * nW + j].astype(jnp.float32)
             outs = []
             for h in range(heads):
                 # q/k stay in the input dtype: bf16 MXU inputs with fp32
                 # accumulation — the einsum model path's exact semantics
-                # (ops/attention.py:57) and the fast MXU path (an fp32 dot
-                # runs multi-pass on the MXU)
-                q = win[:, h * hd:(h + 1) * hd] * scale
+                # (ops/attention.py) and the fast MXU path (an fp32 dot
+                # runs multi-pass on the MXU). Post-matmul fp32 scale,
+                # zero-mask add skipped (single-entry mask == W-MSA zeros
+                # by contract), reciprocal-multiply softmax: the kernel is
+                # VPU-bound at these matmul sizes, so every elementwise
+                # pass over the (TN, TN) scores is ~1/6 of its runtime.
+                q = win[:, h * hd:(h + 1) * hd]
                 k = win[:, C + h * hd:C + (h + 1) * hd]
                 v = win[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
                 scores = jax.lax.dot_general(
                     q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                scores = scores + bias_ref[h].astype(jnp.float32) + mask
+                scores = scores * jnp.float32(scale) + bias_ref[h].astype(
+                    jnp.float32)
+                if not single_mask:
+                    scores = scores + mask_ref[wr * nW + j].astype(
+                        jnp.float32)
                 m = jnp.max(scores, axis=-1, keepdims=True)
                 e = jnp.exp(scores - m)
-                p = e / jnp.sum(e, axis=-1, keepdims=True)
+                p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
                 o = jnp.dot(p.astype(v.dtype), v,
                             preferred_element_type=jnp.float32)
                 outs.append(o.astype(x.dtype))
@@ -281,9 +298,15 @@ def fused_swin_block_attention_ref(x, wqkv, bqkv, wproj, bproj, bias_tiled,
 
 def _resolve_band_rows(band_rows, nH, T, ws, W, C, isz):
     """Window rows per grid cell. None -> the STSWIN_ATTN_BAND_ROWS env
-    default (profiling knob; 1 until a device measurement says otherwise).
-    Falls back to 1 when nH isn't divisible or the qkv scratch would blow
-    the VMEM budget."""
+    default (profiling knob). Falls back to 1 when nH isn't divisible or
+    the qkv scratch would blow the VMEM budget.
+
+    Default 1 is the MEASURED best config (r5, post fast-erf): end-to-end
+    serving bs=16 is 123.0 fps with band 1 vs 122.1 with band 2
+    (tools/profile_serving_band.py), and every per-shape kernel delta is
+    within ~1% (tools/profile_attn_band.py) — r4's small band-2 serving
+    edge did not survive the r5 kernel work. bench.py still A/Bs the knob
+    every round as the guardrail that the default stays the winner."""
     if band_rows is None:
         import os
         band_rows = int(os.environ.get("STSWIN_ATTN_BAND_ROWS", "1"))
@@ -430,20 +453,23 @@ def _full_bwd_kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref,
     for j in range(nW):
         win = qkv_scr[:, :, j * ws:(j + 1) * ws, :].reshape(TN, 3 * C)
         dfw = dflat_scr[:, :, j * ws:(j + 1) * ws, :].reshape(TN, C)
-        mask = mask_ref[0 if single_mask else j].astype(jnp.float32)
         o_heads, dq_heads, dk_heads, dv_heads = [], [], [], []
         for h in range(heads):
             # native-dtype score inputs, matching the forward kernels
-            q_s = win[:, h * hd:(h + 1) * hd] * scale
+            # (post-matmul fp32 scale, zero-mask skip, reciprocal softmax)
+            q = win[:, h * hd:(h + 1) * hd]
             k = win[:, C + h * hd:C + (h + 1) * hd]
             v = win[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
             scores = jax.lax.dot_general(
-                q_s, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            scores = scores + bias_ref[h].astype(jnp.float32) + mask
+            scores = scores * jnp.float32(scale) + bias_ref[h].astype(
+                jnp.float32)
+            if not single_mask:
+                scores = scores + mask_ref[j].astype(jnp.float32)
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
 
             do = dfw[:, h * hd:(h + 1) * hd]
             o = jnp.dot(p.astype(v.dtype), v,
@@ -462,10 +488,10 @@ def _full_bwd_kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref,
             dscb = dsc.astype(x.dtype)
             dq = jnp.dot(dscb, k.astype(x.dtype),
                          preferred_element_type=jnp.float32) * scale
-            dk = jax.lax.dot_general(                    # dsc^T @ q_s
-                dscb, q_s.astype(x.dtype),
+            dk = jax.lax.dot_general(                    # (dsc^T @ q) * scale
+                dscb, q.astype(x.dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32) * scale
             dq_heads.append(dq.astype(x.dtype))
             dk_heads.append(dk.astype(x.dtype))
             dv_heads.append(dv.astype(x.dtype))

@@ -25,10 +25,64 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _use_fast_erf() -> bool:
+    """Trace-time switch for the division/exp-free erf (default ON; set
+    STSWIN_FAST_ERF=0 for the A&S form). The GELU runs on ~2.2G hidden
+    elements per bs=8 clip batch, and the A&S form costs a VPU divide AND
+    an exp per element — the measured reason the epilogue kernels sat at
+    ~74% MFU (r5 trace). The polynomial form is pure FMA."""
+    import os
+    return os.environ.get("STSWIN_FAST_ERF", "1") == "1"
+
+
+# minimax odd polynomial erf(x) ~ x * P(x^2) on |x| <= 3.0, SATURATED to
+# sign(x) beyond (1 - erf(3.0) = 2.2e-5, so the jump is below the fit
+# error and GELU's dead negative tail stays exactly dead): measured max
+# abs error 2.6e-5 vs true erf including fp32 Horner rounding
+# (tests/test_pallas_mlp.py pins the bound) — ~1e-2 of a bf16 ulp of the
+# downstream GELU activation. Iteratively-reweighted least-squares fit,
+# deg 8 in x^2 on [0, 3].
+_ERF_CLAMP = 3.0
+_ERF_C = (1.1282684439e+00, -3.7531498256e-01, 1.1107952331e-01,
+          -2.5103008059e-02, 4.2354873714e-03, -5.1105060172e-04,
+          4.1062300646e-05, -1.9449437556e-06, 4.0745480824e-08)
+
+
+def _erf_poly_fast(x):
+    """erf via the saturated odd minimax polynomial — no divide, no exp.
+    The odd form `xc * P(xc^2)` handles the sign for free (and keeps
+    jax.grad correct at x == 0, where a sign(x)-based form zeroes it);
+    outside the fit range the value saturates to exactly +-1."""
+    xc = jnp.clip(x, -_ERF_CLAMP, _ERF_CLAMP)
+    t = xc * xc
+    p = _ERF_C[-1]
+    for c in _ERF_C[-2::-1]:
+        p = p * t + c
+    return jnp.where(jnp.abs(x) < _ERF_CLAMP, xc * p, jnp.sign(x))
+
+
+def _erf_poly_fast_grad(x):
+    """d/dx of `_erf_poly_fast` (the derivative OF THE APPROXIMATION, so
+    hand-written backward kernels match jax.vjp of the refs exactly):
+    P(t) + 2 t P'(t) inside the clamp, 0 in the saturated tail."""
+    ax = jnp.abs(x)
+    t = jnp.minimum(ax, _ERF_CLAMP) ** 2
+    p = _ERF_C[-1]
+    dp = jnp.float32(0.0)
+    for c in _ERF_C[-2::-1]:
+        dp = dp * t + p
+        p = p * t + c
+    return jnp.where(ax < _ERF_CLAMP, p + 2.0 * t * dp, 0.0)
+
+
 def _erf_poly(x):
-    """Abramowitz & Stegun 7.1.26 rational erf approximation (max abs error
-    1.5e-7 — below bf16/fp32-activation resolution). Mosaic implements
-    neither erf nor erfc, but exp it has."""
+    """erf for Pallas kernels (Mosaic implements neither erf nor erfc).
+
+    Default: the clamped minimax polynomial (`_erf_poly_fast`).
+    STSWIN_FAST_ERF=0: Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7)
+    — accuracy insurance, costs a divide + exp per element."""
+    if _use_fast_erf():
+        return _erf_poly_fast(x)
     a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
     a4, a5, p = -1.453152027, 1.061405429, 0.3275911
     sign = jnp.sign(x)
@@ -39,12 +93,58 @@ def _erf_poly(x):
 
 
 def _gelu(x, exact):
-    """GELU lowerable in Pallas ('exact' = erf-form GELU via the A&S
-    polynomial; False = the standard tanh approximation)."""
+    """GELU lowerable in Pallas ('exact' = erf-form GELU via the in-tree
+    erf polynomial; False = the standard tanh approximation)."""
     if exact:
         return 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5)))
     c = (2.0 / jnp.pi) ** 0.5
     return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x ** 3)))
+
+
+def _gelu_and_grad(x, exact):
+    """(gelu(x), d gelu(x) / dx) in fp32, sharing ONE erf evaluation.
+
+    The backward kernels need both the recomputed activation and its
+    derivative; evaluating them separately runs the erf machinery twice
+    per hidden element (for the fast polynomial: two Horner chains on top
+    of the dual-recurrence one — the measured ~2% stage-1 train-step tax
+    of the fast erf before this fusion). The grad is the derivative OF THE
+    ACTIVE APPROXIMATION, so hand-written backwards match jax.vjp of the
+    refs to rounding."""
+    if not exact:
+        c = jnp.float32((2.0 / jnp.pi) ** 0.5)
+        inner = c * (x + 0.044715 * x ** 3)
+        th = jnp.tanh(inner)
+        val = 0.5 * x * (1.0 + th)
+        grad = (0.5 * (1.0 + th) + 0.5 * x * (1.0 - th * th) * c
+                * (1.0 + 3 * 0.044715 * x * x))
+        return val, grad
+    s = x * jnp.float32(2.0 ** -0.5)
+    if _use_fast_erf():
+        sc = jnp.clip(s, -_ERF_CLAMP, _ERF_CLAMP)
+        t = sc * sc
+        p = _ERF_C[-1]
+        dp = jnp.float32(0.0)
+        for c in _ERF_C[-2::-1]:
+            dp = dp * t + p
+            p = p * t + c
+        inside = jnp.abs(s) < _ERF_CLAMP
+        erf = jnp.where(inside, sc * p, jnp.sign(s))
+        derf = jnp.where(inside, p + 2.0 * t * dp, jnp.float32(0.0))
+    else:
+        a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+        a4, a5, pc = -1.453152027, 1.061405429, 0.3275911
+        ax = jnp.abs(s)
+        t = 1.0 / (1.0 + pc * ax)
+        poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+        ex = jnp.exp(-ax * ax)
+        erf = jnp.sign(s) * (1.0 - poly * ex)
+        # A&S grad keeps its historical form: the TRUE erf derivative
+        # (2/sqrt(pi)) e^{-s^2}, sharing the exp with the value
+        derf = jnp.float32(2.0 / jnp.pi ** 0.5) * ex
+    phi = 0.5 * (1.0 + erf)
+    return 0.5 * x * (1.0 + erf), phi + x * derf * jnp.float32(
+        0.5 * 2.0 ** -0.5)
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, acc, *,
@@ -84,7 +184,11 @@ def mlp_ref(x, w1, b1, w2, b2, gelu_exact=True):
     also the parity-faithful choice (`seg18/train_swin.py:5-6,160-173`)."""
     h = jnp.dot(x, w1.astype(x.dtype), preferred_element_type=jnp.float32)
     h = h + b1.astype(jnp.float32)
-    h = jax.nn.gelu(h, approximate=not gelu_exact)
+    # the ref uses the kernels' OWN `_gelu` (not jax.nn.gelu): the in-kernel
+    # erf polynomial is the framework's erf, and the refs define the kernels'
+    # exact semantics (incl. the custom-VJP backward math, which must
+    # differentiate the same approximation the forward computes)
+    h = _gelu(h, gelu_exact)
     out = jnp.dot(h.astype(x.dtype), w2.astype(x.dtype),
                   preferred_element_type=jnp.float32)
     out = out + b2.astype(jnp.float32)

@@ -92,21 +92,24 @@ def _whole_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
     win_outs = []
     for j in range(nW):
         win = qkv[:, :, j * ws:(j + 1) * ws, :].reshape(TN, 3 * C)
-        mask = mask_ref[0 if single_mask else j].astype(jnp.float32)
         outs = []
         for h in range(heads):
             # q/k stay in the input dtype: bf16 MXU inputs with fp32
             # accumulation — the einsum model path's exact semantics
-            q = win[:, h * hd:(h + 1) * hd] * scale
+            # (post-matmul fp32 scale, zero-mask skip, reciprocal softmax)
+            q = win[:, h * hd:(h + 1) * hd]
             k = win[:, C + h * hd:C + (h + 1) * hd]
             v = win[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
             scores = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            scores = scores + bias_ref[h].astype(jnp.float32) + mask
+            scores = scores * jnp.float32(scale) + bias_ref[h].astype(
+                jnp.float32)
+            if not single_mask:
+                scores = scores + mask_ref[j].astype(jnp.float32)
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             o = jnp.dot(p.astype(v.dtype), v,
                         preferred_element_type=jnp.float32)
             outs.append(o.astype(x.dtype))

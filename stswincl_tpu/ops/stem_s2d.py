@@ -64,6 +64,16 @@ def stem_s2d_conv(x, w, dtype):
 
 
 def stem_s2d_applicable(x, kernel: int, stride: int) -> bool:
+    """Measured NEGATIVE on v5e (2026-08-19): the bs=8 clip path dropped
+    86.1 -> 74.5 fps/chip with this route on — XLA lowers the
+    space-to-depth transpose of the (32, 512, 640, 3) input as a ~12 ms
+    layout shuffle (3-channel minor elements defeat vectorized relayout),
+    dwarfing the ~1.8 ms the 12-channel conv could have saved. Kept
+    opt-in (STSWIN_S2D_STEM=1) as the measured record; the math is exact
+    (tests/test_stem_s2d.py)."""
+    import os
     from stswincl_tpu.ops.pallas_attention import _is_tpu_backend
+    if os.environ.get("STSWIN_S2D_STEM", "0") != "1":
+        return False
     return (kernel == 7 and stride == 2 and _is_tpu_backend()
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
