@@ -431,3 +431,26 @@ def test_full_fused_band_rows_matches_single_row(rng):
         ws, 0, True, 1)
     np.testing.assert_allclose(np.asarray(fb), np.asarray(base),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_resolve_band_rows_routing(monkeypatch):
+    """Routing table for the band knob: shipped default is 1 (the measured
+    r5 winner), env override honored only when nH divides and the qkv
+    scratch fits the 24MB VMEM budget."""
+    from stswincl_tpu.ops.pallas_block_attention import _resolve_band_rows
+
+    # serving/clip shapes at default -> 1 (the measured best config)
+    monkeypatch.delenv("STSWIN_ATTN_BAND_ROWS", raising=False)
+    assert _resolve_band_rows(None, nH=8, T=4, ws=8, W=80, C=384, isz=2) == 1
+
+    # env override, divisible + within budget -> honored
+    monkeypatch.setenv("STSWIN_ATTN_BAND_ROWS", "2")
+    assert _resolve_band_rows(None, nH=8, T=4, ws=8, W=80, C=384, isz=2) == 2
+
+    # explicit arg beats env; indivisible nH falls back to 1
+    assert _resolve_band_rows(4, nH=6, T=4, ws=8, W=80, C=384, isz=2) == 1
+    assert _resolve_band_rows(2, nH=6, T=4, ws=8, W=80, C=384, isz=2) == 2
+
+    # a band whose qkv scratch exceeds 24MB falls back to 1:
+    # T*band*ws*W*3*C*isz = 4*2*8*640*3*1024*4 = 1.5GB >> 24MB
+    assert _resolve_band_rows(2, nH=8, T=4, ws=8, W=640, C=1024, isz=4) == 1
