@@ -34,6 +34,29 @@ from stswincl_tpu.models.init import torch_conv_kernel_init
 Dtype = Any
 
 
+def max_pool_3x3_s2(x):
+    """torchvision stem maxpool (3x3/s2/p1) as two 1-D pools.
+
+    Bit-identical to the 2-D `nn.max_pool` (max is associative; both
+    stages pad with -inf). Measured 35% faster STANDALONE on v5e at the
+    stem shape (tools/profile_maxpool.py: 6.81 -> 4.44 ms incl. producer;
+    slice-max variant loses at 15.3) but NEGATIVE IN-MODEL
+    (tools/profile_sep_pool.py, interleaved A/B 2026-08-20: bs=8 clip
+    88.5 vs 87.4 fps, reproduced twice): in the model XLA fuses the 2-D
+    reduce_window with its batch-minor-layout producer, while the
+    separable pair must round-trip the (32, 128, 320, 64) row-max
+    intermediate through HBM — the fusion it breaks is worth more than
+    the window reuse it adds. Default therefore stays on the 2-D pool;
+    STSWIN_SEP_POOL=1 opts into the separable route (read at trace
+    time), kept as the measured record with its bit-equality test."""
+    import os
+    if os.environ.get("STSWIN_SEP_POOL", "0") != "1":
+        return nn.max_pool(x, (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+    x = nn.max_pool(x, (3, 1), strides=(2, 1), padding=((1, 1), (0, 0)))
+    return nn.max_pool(x, (1, 3), strides=(1, 2), padding=((0, 0), (1, 1)))
+
+
 class _ConvKernelParam(nn.Module):
     """nn.Conv-compatible `kernel` param (same tree as a bias-free Conv)
     for paths that consume the weight directly."""
@@ -165,7 +188,7 @@ class ResNet50OS16(nn.Module):
         x = ConvBN(64, 7, 2, 1, self.dtype, s2d_stem=True,
                    name="stem")(x, train)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = max_pool_3x3_s2(x)
         for i in range(3):
             x = BottleneckBlock(64, dtype=self.dtype, name=f"layer1_{i}")(x, train)
         x = BottleneckBlock(128, stride=2, dtype=self.dtype, name="layer2_0")(x, train)
@@ -199,9 +222,7 @@ class ResNet18OS8(nn.Module):
         x = ConvBN(w, 7, 2, 1, self.dtype, s2d_stem=True,
                    name="stem")(x, train)
         x = nn.relu(x)
-        x = nn.max_pool(
-            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
-        )
+        x = max_pool_3x3_s2(x)
         # layer1: 2x BasicBlock(w), layer2: 2x BasicBlock(2w, stride 2)
         for i in range(2):
             x = BasicBlock(w, dtype=self.dtype, name=f"layer1_{i}")(x, train)

@@ -63,6 +63,47 @@ def stem_s2d_conv(x, w, dtype):
         preferred_element_type=jnp.float32).astype(dtype)
 
 
+def stem_s2d_conv_split(x, w, dtype):
+    """Split-parity space-to-depth stem: same math as `stem_s2d_conv`
+    WITHOUT the XLA transpose that sank the packed route (~12 ms layout
+    shuffle on the (32, 512, 640, 3) clip input, see
+    `stem_s2d_applicable`). Key observation: folding the COLUMN parity
+    into channels is a pure minor-dim view in row-major NHWC —
+    (N, H', W, C) -> (N, H', W/2, 2C) moves no data — so only the ROW
+    parity needs real movement, and a stride-2 row slice is a plain
+    memory copy (no 3-element minor shuffle). The s2d conv then splits
+    over the row parity a:
+
+      out = conv4x4_s1(z_even, wz[a=0]) + conv4x4_s1(z_odd, wz[a=1])
+
+    where `s2d_stem_kernel`'s channel order is a-major (a*2C + b*C + c),
+    so the two kernel halves are contiguous slices. Each conv contracts
+    K = 16 taps * 2*Cin channels (96 for RGB) instead of the direct
+    stem's 3.
+
+    ALSO measured NEGATIVE on v5e (2026-08-20, tools/profile_stem_split.py):
+    9.5 ms vs 5.7 standalone at the (32, 512, 640, 3) clip shape. The trace
+    shows the two C_in=6 convs themselves cost ~2.4 + ~3.2 ms — XLA's TPU
+    conv lowering contracts per-tap input channels regardless of the 4x4
+    kernel regrouping, so widening Cin 3 -> 6/12 does not fill the MXU's
+    contraction lanes the way the arithmetic suggests. Together with the
+    packed route's transpose loss this pins the stem residual (~2.1 ms at
+    ~12% MFU, r5 trace) on the conv LOWERING itself, not on any s2d
+    data-movement strategy: kept as the measured record behind the
+    irreducibility claim in README's residual table."""
+    N, H, W, C = x.shape
+    xb = x.astype(dtype)
+    z_even = xb[:, 0::2].reshape(N, H // 2, W // 2, 2 * C)
+    z_odd = xb[:, 1::2].reshape(N, H // 2, W // 2, 2 * C)
+    wz = s2d_stem_kernel(w).astype(dtype)
+    kwargs = dict(window_strides=(1, 1), padding=((2, 1), (2, 1)),
+                  dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                  preferred_element_type=jnp.float32)
+    out = (jax.lax.conv_general_dilated(z_even, wz[:, :, :2 * C], **kwargs)
+           + jax.lax.conv_general_dilated(z_odd, wz[:, :, 2 * C:], **kwargs))
+    return out.astype(dtype)
+
+
 def stem_s2d_applicable(x, kernel: int, stride: int) -> bool:
     """Measured NEGATIVE on v5e (2026-08-19): the bs=8 clip path dropped
     86.1 -> 74.5 fps/chip with this route on — XLA lowers the

@@ -35,6 +35,24 @@ def test_resnet_train_mode_updates_stats(rng):
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+def test_separable_maxpool_bit_equal(rng, monkeypatch):
+    """The stem's separable 3x3/s2/p1 maxpool route (models/resnet.py,
+    max_pool_3x3_s2 under STSWIN_SEP_POOL=1 — measured faster standalone
+    but slower in-model, so opt-in) is bit-identical to the default 2-D
+    reduce_window form — including odd extents where the padded edge
+    windows matter and negative values where the -inf pad init is
+    load-bearing."""
+    import flax.linen as nn
+    from stswincl_tpu.models.resnet import max_pool_3x3_s2
+    monkeypatch.setenv("STSWIN_SEP_POOL", "1")
+    for shape in [(2, 16, 20, 8), (1, 15, 17, 4)]:
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32)) - 2.0
+        ref = nn.max_pool(x, (3, 3), strides=(2, 2),
+                          padding=((1, 1), (1, 1)))
+        got = max_pool_3x3_s2(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_swin_stack_shapes(rng):
     m = SwinTemporalStack(dim=64, input_resolution=(16, 24), num_heads=4)
     x = jnp.asarray(rng.standard_normal((2, 4, 16, 24, 64)).astype(np.float32))

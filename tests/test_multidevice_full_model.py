@@ -27,6 +27,22 @@ from stswincl_tpu.train import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _fresh_executable_cache():
+    """Drop compiled executables and released trace caches before each of
+    these tests. They are the largest programs in the suite; on a full
+    `pytest tests/` run the executables of the ~180 preceding tests are
+    still resident, and on small hosts XLA:CPU has been seen to abort
+    (SIGABRT, no message) inside the width-512 contrast step's execution
+    under that accumulated footprint (2026-08-20, 1-CPU/125GB runner) —
+    while the same test passes solo. Clearing is cheap relative to these
+    tests' own compile times."""
+    jax.clear_caches()
+    import gc
+    gc.collect()
+    yield
+
+
 def _max_tree_diff(a, b):
     diffs = jax.tree.map(
         lambda x, y: float(jnp.max(jnp.abs(x.astype(jnp.float32) -

@@ -9,8 +9,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from stswincl_tpu.ops.stem_s2d import (stem_s2d_conv, s2d_stem_kernel,
-                                       space_to_depth, stem_s2d_applicable)
+from stswincl_tpu.ops.stem_s2d import (stem_s2d_conv, stem_s2d_conv_split,
+                                       s2d_stem_kernel, space_to_depth,
+                                       stem_s2d_applicable)
 
 
 def test_s2d_conv_matches_direct(rng):
@@ -20,6 +21,20 @@ def test_s2d_conv_matches_direct(rng):
         x, w, (2, 2), ((3, 3), (3, 3)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     got = stem_s2d_conv(x, w, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_conv_split_matches_direct(rng):
+    """Split-parity route (r5 second attempt, also measured negative —
+    tools/profile_stem_split.py): same math, fp32-exact vs direct up to
+    the two-conv fp32 add."""
+    x = jnp.asarray(rng.standard_normal((2, 32, 48, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((7, 7, 3, 16)) * 0.1, jnp.float32)
+    direct = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = stem_s2d_conv_split(x, w, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
                                rtol=1e-5, atol=1e-5)
 
