@@ -100,6 +100,10 @@ def test_full_width_seg_train_step_sharded_matches_single(rng):
 
     s_a = SegTrainState.create(variables, tx)
     s_a, m_a = step(s_a, images, labels)
+    # pull the single-layout result to host numpy (freeing its XLA:CPU
+    # buffers) before dispatching the sharded execution — these are the
+    # suite's biggest programs and their footprints must not overlap
+    s_a, m_a = jax.device_get((s_a, m_a))
 
     mesh = make_mesh(8)
     s_b = SegTrainState.create(variables, tx)
@@ -138,8 +142,10 @@ def test_full_width_contrast_train_step_sharded_matches_single(rng):
     # sharded one: both are ~20GB-peak XLA:CPU programs and dispatch is
     # async — letting them run concurrently aborts the process (observed:
     # silent SIGABRT at the first blocking fetch, tests green when the two
-    # executions are serialized)
-    jax.block_until_ready(m_a)
+    # executions are serialized). device_get additionally frees the
+    # single-layout XLA buffers so the footprints never overlap (the same
+    # abort resurfaced on a 1-CPU host in full-suite runs, 2026-08-20).
+    s_a, m_a = jax.device_get((s_a, m_a))
 
     mesh = make_mesh(8)
     s_b = ContrastTrainState.create(variables, tx)
